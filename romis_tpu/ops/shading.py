@@ -1,0 +1,124 @@
+"""Phong shading, target PDF, and texture lookup — fully vectorised.
+
+Reference analogs:
+- computeShading   (src/rendering/shading.cpp:7-34)
+- targetPDF        (src/rendering/reservoir.cpp:106-109)
+- acquireTexel     (src/scene/texture.cpp:4-9)
+- diffuseAlbedo    (src/utils/utils.cpp:33-37)
+
+Deviations (documented, deliberate):
+- The specular lobe clamps cos(theta) to >= 0 before pow. The reference calls
+  std::pow on a possibly-negative base, which yields NaN for fractional
+  shininess (then scrubbed to 0, shading.cpp:27-28) but a *signed* value for
+  integer shininess — a numerical quirk, not a feature.
+- Interpolated shading normals are normalized; the reference uses the raw
+  rtcInterpolate0 output (embree_interface.cpp:76-77).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.features import Features
+from ..core.types import ShadeCtx
+
+ZERO_EPSILON = 1e-5  # reference src/utils/utils.h:19
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v, eps=1e-20):
+    return v * jnp.reciprocal(jnp.sqrt(jnp.maximum(_dot(v, v), eps)))[..., None]
+
+
+def acquire_texel(tex_data, tex_size, tex_id, uv):
+    """Nearest-neighbour texel fetch (reference src/scene/texture.cpp:4-9:
+    x = u*(W-1), y = v*(H-1), row-major, no wrapping/filtering).
+
+    tex_data: [NT, TH, TW, 3]; tex_size: [NT, 2] (h, w); tex_id: [...] int32
+    (may be -1); uv: [..., 2]. Returns [..., 3] (garbage where tex_id < 0 —
+    callers select against it).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    h = tex_size[tid, 0].astype(jnp.float32)
+    w = tex_size[tid, 1].astype(jnp.float32)
+    x = jnp.clip((uv[..., 0] * (w - 1.0)).astype(jnp.int32), 0,
+                 tex_data.shape[2] - 1)
+    y = jnp.clip((uv[..., 1] * (h - 1.0)).astype(jnp.int32), 0,
+                 tex_data.shape[1] - 1)
+    return tex_data[tid, y, x]
+
+
+def diffuse_albedo(geometry, mat_id, uv, features: Features):
+    """Per-pixel effective diffuse albedo: texture if present else material kd
+    (reference diffuseAlbedo, utils.cpp:33-37)."""
+    kd = geometry.mat_kd[mat_id]
+    if not features.enable_texture_mapping:
+        return kd
+    tex_id = geometry.mat_tex_id[mat_id]
+    texel = acquire_texel(geometry.tex_data, geometry.tex_size, tex_id, uv)
+    return jnp.where((tex_id >= 0)[..., None], texel, kd)
+
+
+def phong_shade(
+    ctx: ShadeCtx,
+    light_pos: jnp.ndarray,  # [..., 3] broadcastable against ctx fields [N, ...]
+    light_color: jnp.ndarray,  # [..., 3]
+    features: Features,
+) -> jnp.ndarray:
+    """Phong diffuse + specular with inverse-square falloff.
+
+    Matches computeShading (shading.cpp:7-34): early-out when the light is
+    behind the surface, NaN scrubbing of both terms, distance clamped to 1
+    when within ZERO_EPSILON of 0. ``ctx`` fields broadcast against extra
+    sample dimensions in light_pos/light_color (e.g. [N, S, 3] vs [N, 3] →
+    callers insert the sample axis into ctx fields).
+    """
+    if not features.enable_shading:
+        return jnp.broadcast_to(
+            ctx.kd, jnp.broadcast_shapes(ctx.kd.shape, light_pos.shape)
+        )
+
+    p = ctx.position
+    n = ctx.normal
+    to_light = light_pos - p
+    dist2 = _dot(to_light, to_light)
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    l_dir = to_light / jnp.maximum(dist, 1e-20)[..., None]
+    dot_nl = _dot(n, l_dir)
+
+    v = _normalize(ctx.view_origin - p)
+    r = _normalize(2.0 * dot_nl[..., None] * n - l_dir)
+    cos_theta = _dot(r, v)
+
+    diffuse = light_color * ctx.kd * dot_nl[..., None]
+    spec_pow = jnp.power(jnp.maximum(cos_theta, 0.0), ctx.shininess)
+    specular = light_color * ctx.ks * spec_pow[..., None]
+    diffuse = jnp.where(jnp.isnan(diffuse), 0.0, diffuse)
+    specular = jnp.where(jnp.isnan(specular), 0.0, specular)
+
+    falloff_d = jnp.where(dist < ZERO_EPSILON, 1.0, dist)
+    out = (diffuse + specular) / (falloff_d * falloff_d)[..., None]
+
+    behind = dot_nl < 0.0
+    out = jnp.where(behind[..., None], 0.0, out)
+    return jnp.where(ctx.valid[..., None], out, 0.0)
+
+
+def target_pdf(
+    ctx: ShadeCtx, light_pos: jnp.ndarray, light_color: jnp.ndarray,
+    features: Features,
+) -> jnp.ndarray:
+    """p-hat = ||unshadowed Phong shading||_2 (reference targetPDF,
+    reservoir.cpp:106-109). Zero for missed pixels."""
+    bsdf = phong_shade(ctx, light_pos, light_color, features)
+    return jnp.linalg.norm(bsdf, axis=-1)
+
+
+def exposure_tone_mapping(color: jnp.ndarray, features: Features) -> jnp.ndarray:
+    """1 - exp(-exposure*c), then gamma (reference
+    src/post_processing/tone_mapping.cpp:8-11)."""
+    mapped = 1.0 - jnp.exp(-features.exposure * color)
+    return jnp.power(jnp.maximum(mapped, 0.0), 1.0 / features.gamma)

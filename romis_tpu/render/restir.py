@@ -1,0 +1,272 @@
+"""The ReSTIR pipeline: trace → RIS → temporal reuse → spatial reuse → shade.
+
+Reference analog: renderReSTIR (src/rendering/render.cpp:28-62) and its
+building blocks (src/rendering/render_utils.cpp). Each phase is a pure
+function over flat [H*W] SoA state; the whole frame is one jittable function
+and an animation is a `lax.scan` over frames carrying ``TemporalState``
+(replacing the reference's shared_ptr<ReservoirGrid> frame carry,
+src/main.cpp:65,165).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.camera import CameraParams, generate_rays, project_to_pixel
+from ..core.features import Features
+from ..core.types import Rays, Reservoirs, ShadeCtx, empty_reservoirs
+from ..ops.intersect import intersect_closest, make_hit_record, make_shade_ctx
+from ..ops.shading import exposure_tone_mapping, phong_shade
+from ..ops.wrs import (
+    clamp_temporal_m,
+    combine_biased,
+    combine_unbiased,
+    gen_canonical_samples,
+    visibility,
+)
+
+# Phase ids for RNG key folding — every random draw in a frame derives from
+# fold_in(frame_key, PHASE)... — deterministic and shard-invariant (replaces
+# the reference's seedless libc rand(), see SURVEY §5 RNG note).
+PH_CANDIDATES = 1
+PH_TEMPORAL = 2
+PH_SPATIAL = 3
+
+# Spatial-reuse similarity gates, hardcoded in the reference's inline check
+# (render_utils.cpp:113-118): >10% depth difference or >25° normal difference
+# rejects a neighbour. cos(25°) = 0.90630778703.
+SPATIAL_DEPTH_FRAC = 0.1
+SPATIAL_NORMAL_COS = 0.90630778703
+
+
+@struct.dataclass
+class TemporalState:
+    """Frame-to-frame carry for temporal reuse."""
+
+    reservoirs: Reservoirs  # [N, K]
+    ctx: ShadeCtx  # [N] previous frame's receiver geometry
+    cam: CameraParams  # previous frame's camera (for motion reprojection)
+    has_prev: jnp.ndarray  # [] bool
+
+
+def trace_primary(rays: Rays, geometry, features: Features):
+    """Primary hits for the full ray grid (reference genPrimaryRayHits,
+    render_utils.cpp:13-34)."""
+    t, tri, u, v = intersect_closest(rays, geometry)
+    hits = make_hit_record(rays, geometry, t, tri, u, v)
+    ctx = make_shade_ctx(rays, hits, geometry, features)
+    return hits, ctx
+
+
+def temporal_reuse(
+    key,
+    ctx: ShadeCtx,
+    current: Reservoirs,
+    prev: TemporalState,
+    height: int,
+    width: int,
+    features: Features,
+) -> Reservoirs:
+    """Temporal reuse with M-clamping (reference temporalReuse,
+    render_utils.cpp:142-177): clamp the predecessor's history, then a 2-way
+    biased combine of {current, predecessor}.
+
+    With ``features.temporal_reprojection`` the predecessor is fetched at the
+    motion-reprojected pixel (project the current hit point through the
+    previous camera) and validated with depth/normal gates — a capability the
+    reference lacks (it reuses the same screen coordinate,
+    render_utils.cpp:151-172; report §2)."""
+    n = current.n
+
+    if features.temporal_reprojection:
+        rows, cols, in_front = project_to_pixel(
+            prev.cam, ctx.position, height, width
+        )
+        ri = jnp.clip(jnp.round(rows).astype(jnp.int32), 0, height - 1)
+        ci = jnp.clip(jnp.round(cols).astype(jnp.int32), 0, width - 1)
+        in_bounds = (
+            (rows >= -0.5) & (rows <= height - 0.5)
+            & (cols >= -0.5) & (cols <= width - 0.5) & in_front
+        )
+        idx = ri * width + ci
+        pred = jax.tree.map(lambda a: a[idx], prev.reservoirs)
+        pred_ctx = jax.tree.map(lambda a: a[idx], prev.ctx)
+        # Validity gates: same submesh, depth within 10%, normals within 25°
+        # (reuse of the reference's similarity thresholds, fixed — see
+        # neighbour_selection.cpp:16-18 bug note).
+        depth_ok = (
+            jnp.abs(1.0 - pred_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20))
+            <= SPATIAL_DEPTH_FRAC
+        )
+        normal_ok = (
+            jnp.sum(pred_ctx.normal * ctx.normal, axis=-1) >= SPATIAL_NORMAL_COS
+        )
+        pred_mask = (
+            in_bounds & ctx.valid & pred_ctx.valid & depth_ok & normal_ok
+        )
+    else:
+        pred = prev.reservoirs
+        pred_mask = jnp.ones((n,), bool)
+
+    pred_mask = pred_mask & prev.has_prev
+
+    pred = clamp_temporal_m(pred, current.total_m(),
+                            float(features.temporal_clamp_m))
+
+    inputs = jax.tree.map(
+        lambda a, b: jnp.stack([a, b], axis=1), current, pred
+    )  # [N, 2, K, ...]
+    in_mask = jnp.stack([jnp.ones((n,), bool), pred_mask], axis=1)
+    return combine_biased(key, ctx, inputs, in_mask, features)
+
+
+def spatial_reuse(
+    key,
+    ctx: ShadeCtx,
+    reservoirs: Reservoirs,
+    height: int,
+    width: int,
+    geometry,
+    features: Features,
+) -> Reservoirs:
+    """Spatial reuse (reference spatialReuse, render_utils.cpp:87-140):
+    per pass, every pixel picks ``num_neighbours_to_sample`` uniform offsets
+    in the ±radius box (clamped to the screen), rejects dissimilar neighbours
+    when using the biased combine (depth/normal gates,
+    render_utils.cpp:113-118), and combines {neighbours..., self}."""
+    n = height * width
+    k_n = features.num_neighbours_to_sample
+    radius = features.spatial_resample_radius
+
+    rows = jnp.arange(n, dtype=jnp.int32) // width
+    cols = jnp.arange(n, dtype=jnp.int32) % width
+
+    for p in range(features.spatial_resampling_passes):
+        kp = jax.random.fold_in(key, p)
+        offs = jax.random.randint(kp, (n, k_n, 2), -radius, radius + 1)
+        ny = jnp.clip(rows[:, None] + offs[..., 0], 0, height - 1)
+        nx = jnp.clip(cols[:, None] + offs[..., 1], 0, width - 1)
+        nidx = ny * width + nx  # [N, k_n]
+
+        nbr = jax.tree.map(lambda a: a[nidx], reservoirs)  # [N, k_n, K, ...]
+        nbr_ctx = jax.tree.map(lambda a: a[nidx], ctx)  # [N, k_n, ...]
+
+        if features.unbiased_combination:
+            nbr_mask = jnp.ones((n, k_n), bool)
+        else:
+            depth_ok = (
+                jnp.abs(
+                    1.0 - nbr_ctx.depth_t / jnp.maximum(ctx.depth_t[:, None],
+                                                        1e-20)
+                )
+                <= SPATIAL_DEPTH_FRAC
+            )
+            normal_ok = (
+                jnp.sum(nbr_ctx.normal * ctx.normal[:, None], axis=-1)
+                >= SPATIAL_NORMAL_COS
+            )
+            nbr_mask = (
+                depth_ok & normal_ok & ctx.valid[:, None] & nbr_ctx.valid
+            )
+
+        # Stream order in the reference is [neighbours..., self]
+        # (render_utils.cpp:121-124); order is immaterial here (order-invariant
+        # selection) but the mask layout mirrors it.
+        inputs = jax.tree.map(
+            lambda nb, s: jnp.concatenate([nb, s[:, None]], axis=1),
+            nbr, jax.tree.map(lambda a: a, reservoirs),
+        )
+        in_mask = jnp.concatenate(
+            [nbr_mask, jnp.ones((n, 1), bool)], axis=1
+        )
+
+        kc = jax.random.fold_in(kp, 1000)
+        if features.unbiased_combination:
+            input_ctxs = jax.tree.map(
+                lambda nc, s: jnp.concatenate([nc, s[:, None]], axis=1),
+                nbr_ctx, ctx,
+            )
+            reservoirs = combine_unbiased(
+                kc, ctx, inputs, in_mask, input_ctxs, geometry, features
+            )
+        else:
+            reservoirs = combine_biased(kc, ctx, inputs, in_mask, features)
+
+    return reservoirs
+
+
+def final_shade(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
+                features: Features) -> jnp.ndarray:
+    """Final shading (reference finalShading, render_utils.cpp:54-65):
+    per lane, visibility ray × Phong × W, averaged over the K lanes."""
+    vis = visibility(ctx.position[:, None], reservoirs.pos, geometry)  # [N, K]
+    shade = phong_shade(
+        jax.tree.map(lambda a: a[:, None], ctx),
+        reservoirs.pos, reservoirs.color, features,
+    )  # [N, K, 3]
+    contrib = jnp.where(vis[..., None], shade, 0.0) * reservoirs.big_w[..., None]
+    return jnp.sum(contrib, axis=1) / reservoirs.k
+
+
+def render_restir_frame(
+    key,
+    cam: CameraParams,
+    geometry,
+    lights,
+    num_lights: int,
+    height: int,
+    width: int,
+    features: Features,
+    prev: TemporalState,
+):
+    """One full ReSTIR frame (reference renderReSTIR, render.cpp:28-62).
+    Returns (image [H, W, 3], TemporalState for the next frame)."""
+    rays = generate_rays(cam, height, width)
+    _, ctx = trace_primary(rays, geometry, features)
+
+    res = gen_canonical_samples(
+        jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, num_lights,
+        geometry, features,
+    )
+
+    if features.temporal_reuse:
+        res = temporal_reuse(
+            jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev,
+            height, width, features,
+        )
+
+    if features.spatial_reuse:
+        res = spatial_reuse(
+            jax.random.fold_in(key, PH_SPATIAL), ctx, res, height, width,
+            geometry, features,
+        )
+
+    color = final_shade(ctx, res, geometry, features)
+    if features.enable_tone_mapping:
+        color = exposure_tone_mapping(color, features)
+    image = color.reshape(height, width, 3)
+
+    state = TemporalState(
+        reservoirs=res, ctx=ctx, cam=cam, has_prev=jnp.array(True)
+    )
+    return image, state
+
+
+def initial_temporal_state(height: int, width: int, k: int,
+                           cam: CameraParams) -> TemporalState:
+    """Zero-filled carry for the first frame (mask has_prev=False)."""
+    n = height * width
+    z3 = jnp.zeros((n, 3))
+    ctx = ShadeCtx(
+        valid=jnp.zeros((n,), bool), position=z3, normal=z3, view_origin=z3,
+        kd=z3, ks=z3, shininess=jnp.zeros((n,)),
+        geom_id=jnp.full((n,), -1, jnp.int32), depth_t=jnp.zeros((n,)),
+    )
+    return TemporalState(
+        reservoirs=empty_reservoirs(n, k), ctx=ctx, cam=cam,
+        has_prev=jnp.array(False),
+    )
