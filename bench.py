@@ -1,0 +1,97 @@
+"""Benchmark: full spatiotemporal ReSTIR on Cornell Nightclub at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is BASELINE.md config 5's forward pass: 512 parallelogram area
+lights, 83 triangles, 1920x1080, K=2 reservoir lanes, 32 RIS candidates,
+5 spatial neighbours, radius 10, 2 spatial passes, temporal reuse with
+M-clamp 20 (reference defaults, src/utils/common.h:103-131).
+
+Rays counted per frame: primary (H*W) + final-shade shadow rays (H*W*K).
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the first recorded TPU run stored in bench_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    # Allow quick CPU smoke runs: BENCH_CPU=1 shrinks the workload.
+    cpu_smoke = os.environ.get("BENCH_CPU") == "1"
+    if cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from romis_tpu.core.features import Features
+    from romis_tpu.render.restir import (
+        initial_temporal_state, render_restir_frame,
+    )
+    import __graft_entry__ as ge
+
+    scene = ge._flagship_scene()
+    if cpu_smoke:
+        h, w = 90, 160
+    else:
+        h, w = 1080, 1920
+    features = Features()  # reference defaults: full spatiotemporal ReSTIR
+    cam = ge._flagship_camera(h, w)
+    prev = initial_temporal_state(h, w, features.num_samples_in_reservoir,
+                                  cam)
+
+    fn = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))
+    args = (cam, scene.geometry, scene.lights, scene.num_lights, h, w,
+            features)
+
+    # Warmup / compile (also produces the temporal predecessor).
+    img, state = fn(jax.random.PRNGKey(0), *args, prev)
+    jax.block_until_ready(img)
+
+    n_frames = 3 if cpu_smoke else 10
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        img, state = fn(jax.random.PRNGKey(f + 1), *args, state)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+
+    k = features.num_samples_in_reservoir
+    rays_per_frame = h * w * (1 + k)  # primary + final shadow rays
+    reservoir_updates_per_frame = h * w * (
+        features.initial_light_samples
+        + features.spatial_resampling_passes
+        * (features.num_neighbours_to_sample + 1) * k
+        + 2 * k  # temporal 2-way combine
+    )
+    rays_per_s = rays_per_frame * n_frames / dt
+    updates_per_s = reservoir_updates_per_frame * n_frames / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(base_path) and not cpu_smoke:
+        with open(base_path) as f:
+            vs = rays_per_s / json.load(f)["rays_per_s"]
+
+    result = {
+        "metric": "restir_1080p_rays_per_s" if not cpu_smoke
+        else "restir_cpu_smoke_rays_per_s",
+        "value": round(rays_per_s),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+    }
+    # Extra context on stderr; the driver contract is the single stdout line.
+    print(
+        f"frames={n_frames} dt={dt:.3f}s ms/frame={1000*dt/n_frames:.1f} "
+        f"reservoir_updates/s={updates_per_s:.3e} "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Vector math for image-minor SoA layout.
+
+TPU tiles the last two axes of every array as (8 sublanes, 128 lanes). A
+[N_pixels, 3] layout puts the 3-vector in lanes and pads 3 → 128 (up to 64x
+HBM expansion on materialised temps — measured OOM at 1080p). So the
+framework-wide convention is **image-minor**:
+
+- scalar pixel field:  [..., H, W]
+- 3-vector field:      [..., 3, H, W]   (vector axis = -3)
+- reservoir lanes:     [K, ..., H, W]   (sample axes lead)
+
+(H, W) tile perfectly (1080 = 135*8, 1920 = 15*128), leading axes are free,
+and broadcasting across sample dimensions is plain NumPy leading-dim
+broadcast. These helpers do 3-vector algebra on axis -3.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+VEC_AXIS = -3
+
+
+def e(s):
+    """Expand a scalar field [..., H, W] with a vector axis → [..., 1, H, W]
+    so it broadcasts against [..., 3, H, W] vectors."""
+    return jnp.expand_dims(s, VEC_AXIS)
+
+
+def vdot(a, b):
+    """[..., 3, H, W] x [..., 3, H, W] → [..., H, W]."""
+    return jnp.sum(a * b, axis=VEC_AXIS)
+
+
+def vcross(a, b):
+    return jnp.cross(a, b, axisa=VEC_AXIS, axisb=VEC_AXIS, axisc=VEC_AXIS)
+
+
+def vnorm(a, eps: float = 1e-30):
+    """Grad-safe L2 norm over the vector axis: exactly 0 for the zero vector,
+    gradient 0 (not NaN) there."""
+    sq = vdot(a, a)
+    ok = sq > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+
+
+def vnormalize(a, eps: float = 1e-20):
+    return a * e(jnp.reciprocal(jnp.maximum(vnorm(a), eps)))
+
+
+def vec(x, y, z):
+    """Stack three scalar fields into a [..., 3, H, W] vector."""
+    return jnp.stack([x, y, z], axis=VEC_AXIS)
+
+
+def vx(a):
+    return jnp.take(a, 0, axis=VEC_AXIS)
+
+
+def vy(a):
+    return jnp.take(a, 1, axis=VEC_AXIS)
+
+
+def vz(a):
+    return jnp.take(a, 2, axis=VEC_AXIS)
+
+
+def from_table(table, idx):
+    """Gather [..., 3, H, W] vectors from a [L, 3] host table by an
+    [..., H, W] integer field."""
+    g = table[idx]  # [..., H, W, 3]
+    return jnp.moveaxis(g, -1, VEC_AXIS)
+
+
+def const_vec(v, like=None):
+    """A [3] constant as a broadcastable [3, 1, 1] vector."""
+    a = jnp.asarray(v, jnp.float32).reshape(3, 1, 1)
+    return a

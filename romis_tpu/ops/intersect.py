@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import HitRecord, Rays
-from .shading import diffuse_albedo
+from .shading import diffuse_albedo, safe_norm
 from ..core.features import Features
 from ..core.types import ShadeCtx
 
@@ -50,14 +50,18 @@ def _mt_block(origins, dirs, v0, e1, e2, active):
     o = origins[:, None, :]
     pvec = jnp.cross(d, e2[None, :, :])  # [N, B, 3]
     det = jnp.sum(e1[None, :, :] * pvec, axis=-1)  # [N, B]
-    inv_det = jnp.where(jnp.abs(det) > MT_EPSILON, 1.0 / det, 0.0)
+    # Double-where keeps the backward pass NaN-free on degenerate triangles
+    # (grad of 1/det at det→0 would otherwise poison vertex gradients).
+    det_ok = jnp.abs(det) > MT_EPSILON
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = jnp.where(det_ok, 1.0 / det_safe, 0.0)
     tvec = o - v0[None, :, :]
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1[None, :, :])
     vv = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
     ok = (
-        (jnp.abs(det) > MT_EPSILON)
+        det_ok
         & (u >= 0.0) & (u <= 1.0)
         & (vv >= 0.0) & (u + vv <= 1.0)
         & (t > 0.0)
@@ -143,7 +147,7 @@ def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:
     uu = u[..., None]
     vv = v[..., None]
     normal = w * geometry.n0[idx] + uu * geometry.n1[idx] + vv * geometry.n2[idx]
-    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    norm = safe_norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(norm, 1e-20)
     uv = w * geometry.uv0[idx] + uu * geometry.uv1[idx] + vv * geometry.uv2[idx]
     return HitRecord(

@@ -29,6 +29,16 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_norm(v, axis=-1, keepdims=False, eps=1e-30):
+    """L2 norm that is exactly 0 for the zero vector but with gradient 0
+    (not NaN) there — p_hat is a norm of a frequently-all-zero bsdf, so the
+    stock jnp.linalg.norm would NaN-poison every backward pass. Double-where
+    keeps both the value and the cotangent clean."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    ok = sq > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+
+
 def _normalize(v, eps=1e-20):
     return v * jnp.reciprocal(jnp.sqrt(jnp.maximum(_dot(v, v), eps)))[..., None]
 
@@ -85,7 +95,9 @@ def phong_shade(
     n = ctx.normal
     to_light = light_pos - p
     dist2 = _dot(to_light, to_light)
-    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    # Floor inside the sqrt: d(sqrt)/dx at 0 is inf and would NaN-poison
+    # gradients of coincident light/surface pairs.
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
     l_dir = to_light / jnp.maximum(dist, 1e-20)[..., None]
     dot_nl = _dot(n, l_dir)
 
@@ -94,7 +106,11 @@ def phong_shade(
     cos_theta = _dot(r, v)
 
     diffuse = light_color * ctx.kd * dot_nl[..., None]
-    spec_pow = jnp.power(jnp.maximum(cos_theta, 0.0), ctx.shininess)
+    # Grad-safe clamped pow: d/dx x^s at x=0 is inf for s<1; route the
+    # zero-specular branch through where on both value and base.
+    cos_safe = jnp.maximum(cos_theta, 1e-12)
+    spec_pow = jnp.where(cos_theta > 0.0,
+                         jnp.power(cos_safe, ctx.shininess), 0.0)
     specular = light_color * ctx.ks * spec_pow[..., None]
     diffuse = jnp.where(jnp.isnan(diffuse), 0.0, diffuse)
     specular = jnp.where(jnp.isnan(specular), 0.0, specular)
@@ -114,7 +130,7 @@ def target_pdf(
     """p-hat = ||unshadowed Phong shading||_2 (reference targetPDF,
     reservoir.cpp:106-109). Zero for missed pixels."""
     bsdf = phong_shade(ctx, light_pos, light_color, features)
-    return jnp.linalg.norm(bsdf, axis=-1)
+    return safe_norm(bsdf, axis=-1)
 
 
 def exposure_tone_mapping(color: jnp.ndarray, features: Features) -> jnp.ndarray:

@@ -30,7 +30,7 @@ from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 from ..scene.lights import LightTable, sample_lights
 from .intersect import intersect_any
-from .shading import target_pdf
+from .shading import safe_norm, target_pdf
 
 SHADOW_RAY_EPSILON = 1e-3  # reference src/utils/utils.h:16
 
@@ -59,10 +59,10 @@ def visibility(ctx_position, sample_pos, geometry) -> jnp.ndarray:
     p = jnp.broadcast_to(ctx_position, sample_pos.shape).reshape(-1, 3)
     s = sample_pos.reshape(-1, 3)
     to = s - p
-    dist = jnp.linalg.norm(to, axis=-1)
+    dist = safe_norm(to, axis=-1)
     d = to / jnp.maximum(dist, 1e-20)[..., None]
     origin = p + SHADOW_RAY_EPSILON * d
-    t_max = jnp.linalg.norm(s - origin, axis=-1)
+    t_max = safe_norm(s - origin, axis=-1)
     occluded = intersect_any(origin, d, t_max, geometry)
     visible = (~occluded) | (dist <= SHADOW_RAY_EPSILON)
     return visible.reshape(shape)
@@ -98,49 +98,61 @@ def gen_canonical_samples(
     WRS. W = wSum / (p_hat * M) per lane with the zero-p_hat guard
     (light.cpp:85-95); the optional initial visibility check kills W
     (light.cpp:85-88).
+
+    Candidates stream through a `lax.scan` over slot index (one candidate per
+    lane per step, all K lanes in parallel) so peak memory is O(N*K) instead
+    of O(N*S) — at 1080p the [N, S] layout would be GBs of HBM. The running
+    Gumbel-max over the stream is distribution-identical to a global argmax.
     """
     n = ctx.position.shape[0]
     s = features.initial_light_samples
     k = features.num_samples_in_reservoir
     sk, lane_counts, lane_real = _lane_layout(s, k)
-    s_pad = sk * k
 
-    k_idx, k_uv, k_g = jax.random.split(key, 3)
-    light_idx = jax.random.randint(k_idx, (n, s_pad), 0, num_lights)
-    uv = jax.random.uniform(k_uv, (n, s_pad, 2))
-    gumbel = jax.random.gumbel(k_g, (n, s_pad))
+    ctx_e = _expand(ctx)
+    keys = jax.random.split(key, sk)
+    real_per_slot = jnp.asarray(lane_real.T.copy())  # [sk, K] bool
 
-    pos, color = sample_lights(lights, light_idx, uv[..., 0], uv[..., 1])
-    p_hat = target_pdf(_expand(ctx), pos, color, features)  # [N, s_pad]
-    w = p_hat * float(num_lights)  # ÷ (1/|lights|) uniform light pdf
+    def step(carry, inp):
+        w_sum, best_score, sel_pos, sel_color, sel_w, sel_p_hat = carry
+        slot_key, real = inp  # real: [K]
+        k1, k2, k3 = jax.random.split(slot_key, 3)
+        idx = jax.random.randint(k1, (n, k), 0, num_lights)
+        uv = jax.random.uniform(k2, (n, k, 2))
+        g = jax.random.gumbel(k3, (n, k))
 
-    # Lane reshape: [N, s_pad] -> [N, sk, K] -> [N, K, sk]
-    def lanes(a):
-        return a.reshape((n, sk, k) + a.shape[2:]).swapaxes(1, 2)
+        pos, color = sample_lights(lights, idx, uv[..., 0], uv[..., 1])
+        p_hat = target_pdf(ctx_e, pos, color, features)  # [N, K]
+        w = p_hat * float(num_lights) * real[None].astype(jnp.float32)
 
-    w_l = lanes(w)
-    g_l = lanes(gumbel)
-    pos_l = lanes(pos)
-    color_l = lanes(color)
-    p_hat_l = lanes(p_hat)
-    real = jnp.asarray(lane_real)[None]  # [1, K, sk]
+        score = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + g, -jnp.inf)
+        upd = score > best_score
+        return (
+            w_sum + w,
+            jnp.where(upd, score, best_score),
+            jnp.where(upd[..., None], pos, sel_pos),
+            jnp.where(upd[..., None], color, sel_color),
+            jnp.where(upd, w, sel_w),
+            jnp.where(upd, p_hat, sel_p_hat),
+        ), None
 
-    w_l = jnp.where(real, w_l, 0.0)
-    score = jnp.where((w_l > 0.0) & real, jnp.log(jnp.maximum(w_l, 1e-37)) + g_l,
-                      -jnp.inf)
-    win = jnp.argmax(score, axis=-1)  # [N, K]
+    init = (
+        jnp.zeros((n, k)),
+        jnp.full((n, k), -jnp.inf),
+        jnp.zeros((n, k, 3)),
+        jnp.zeros((n, k, 3)),
+        jnp.zeros((n, k)),
+        jnp.zeros((n, k)),
+    )
+    (w_sum, _, sel_pos, sel_color, sel_w, sel_p_hat), _ = jax.lax.scan(
+        step, init, (keys, real_per_slot)
+    )
 
-    w_sum = jnp.sum(w_l, axis=-1)  # [N, K]
     m = jnp.broadcast_to(jnp.asarray(lane_counts)[None], (n, k))
-
-    sel_pos = jnp.take_along_axis(pos_l, win[..., None, None], axis=2).squeeze(2)
-    sel_color = jnp.take_along_axis(color_l, win[..., None, None], axis=2).squeeze(2)
-    sel_w = jnp.take_along_axis(w_l, win[..., None], axis=-1).squeeze(-1)
-    sel_p_hat = jnp.take_along_axis(p_hat_l, win[..., None], axis=-1).squeeze(-1)
-
     big_w = jnp.where(
         sel_p_hat > 0.0,
-        (1.0 / jnp.maximum(sel_p_hat, 1e-37)) * (1.0 / jnp.maximum(m, 1.0)) * w_sum,
+        (1.0 / jnp.maximum(sel_p_hat, 1e-37)) * (1.0 / jnp.maximum(m, 1.0))
+        * w_sum,
         0.0,
     )
 

@@ -138,7 +138,8 @@ def test_spatial_reuse_reduces_variance(cornell, cam):
 
     v_base = frames(base).var(axis=0).mean()
     v_spat = frames(spat).var(axis=0).mean()
-    assert v_spat < 0.6 * v_base, (v_spat, v_base)
+    # Material reduction expected; loose threshold — 24 frames is noisy.
+    assert v_spat < 0.75 * v_base, (v_spat, v_base)
 
 
 def test_temporal_reuse_converges(cornell, cam):
