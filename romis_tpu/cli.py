@@ -1,0 +1,144 @@
+"""Headless CLI batch renderer.
+
+Reference analog: the command-line branch of main() (src/main.cpp:178-234):
+read a TOML config, load the scene, render one image per camera, write
+BMP/PNG files to the output dir, print per-image and total timings.
+
+Differences by design:
+- cameras are rendered sequentially (or as one batch) on the accelerator
+  instead of one std::thread each (main.cpp:213-230);
+- the reference's unsynchronized cross-camera previousFrameGrid reuse
+  (main.cpp:221 — a data race, and "temporal" reuse across *cameras*) is
+  replaced by --frames N: N temporally-reused frames per camera;
+- deterministic: --seed controls every sample.
+
+Usage:
+    python -m romis_tpu.cli --config configs/cornell.toml
+    python -m romis_tpu.cli --scene cornell_nightclub --size 1920 1080 \
+        --mode restir --frames 4 --out renders/
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="romis_tpu headless renderer")
+    p.add_argument("--config", help="TOML config file (reference schema)")
+    p.add_argument("--scene", help="prebuilt scene name or .obj path")
+    p.add_argument("--size", nargs=2, type=int, metavar=("W", "H"))
+    p.add_argument("--mode", choices=["restir", "rmis", "romis"])
+    p.add_argument("--frames", type=int, default=1,
+                   help="temporal frames per camera (ReSTIR)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", help="output directory")
+    p.add_argument("--format", choices=["png", "bmp", "npy"], default="png")
+    p.add_argument("--platform", help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--save-alphas", action="store_true",
+                   help="R-OMIS: save per-technique alpha visualisations")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .core.camera import make_camera
+    from .core.features import RayTraceMode
+    from .io.config import CameraConfig, Config, read_config_file
+    from .io.image import write_image
+    from .render.pipeline import render_frame, write_provenance
+    from .render.romis import render_romis
+    from .scene.scene import load_prebuilt, load_scene_from_file
+
+    if args.config:
+        cfg = read_config_file(args.config)
+    else:
+        cfg = Config()
+        cfg.cameras = [CameraConfig()]
+    if args.scene:
+        cfg.scene = args.scene
+        cfg.scene_is_file = args.scene.endswith(".obj")
+    if args.size:
+        cfg.window_size = (args.size[0], args.size[1])
+    if args.mode:
+        cfg.features = cfg.features.replace(
+            ray_trace_mode=RayTraceMode(args.mode))
+    if args.out:
+        cfg.output_dir = args.out
+
+    w, h = cfg.window_size
+    if cfg.scene_is_file:
+        scene = load_scene_from_file(cfg.scene, cfg.lights)
+    else:
+        scene = load_prebuilt(cfg.scene, cfg.data_path)
+    print(f"scene: {scene.name} ({int(np.asarray(scene.geometry.active).sum())}"
+          f" tris, {scene.num_lights} lights), {w}x{h}, "
+          f"mode={cfg.features.ray_trace_mode.value}, "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    t_total = time.perf_counter()
+    key = jax.random.PRNGKey(args.seed)
+
+    for i, cam_cfg in enumerate(cfg.cameras):
+        cam = make_camera(
+            look_at=cam_cfg.look_at, rotation_deg=cam_cfg.rotation,
+            distance=cam_cfg.distance_from_look_at,
+            fov_deg=cam_cfg.field_of_view, resolution=(h, w),
+        )
+        t0 = time.perf_counter()
+        cam_key = jax.random.fold_in(key, i)
+        state = None
+        img = None
+        if (cfg.features.ray_trace_mode == RayTraceMode.ROMIS
+                and args.save_alphas):
+            img, alphas = jax.jit(
+                render_romis,
+                static_argnums=(4, 5, 6, 7, 8),
+            )(cam_key, cam, scene.geometry, scene.lights, scene.num_lights,
+              h, w, cfg.features, True)
+            alphas = np.asarray(alphas)
+            for d in range(alphas.shape[0]):
+                # Orange = positive, blue = negative α (visualiseAlphas
+                # colors, render_utils.cpp:194-196).
+                a = alphas[d]
+                pos = np.clip(a, 0, 1)
+                neg = np.clip(-a, 0, 1)
+                vis = (pos[..., :1] * [[1.0, 0.5, 0.0]]
+                       + neg[..., :1] * [[0.0, 0.5, 1.0]])
+                write_image(
+                    f"{cfg.output_dir}/{scene.name}_{stamp}_cam_{i}"
+                    f"_alpha_{d}.{args.format}", vis)
+        else:
+            for f in range(max(args.frames, 1)):
+                img, state = render_frame(
+                    jax.random.fold_in(cam_key, f), cam, scene, h, w,
+                    cfg.features, state)
+        img = np.asarray(img)
+        dt = (time.perf_counter() - t0) * 1000
+        out_path = (f"{cfg.output_dir}/{scene.name}_{stamp}_cam_{i}"
+                    f".{args.format}")
+        import os
+
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        write_image(out_path, img)
+        # Reference prints "Render time: {}ms" per frame (main.cpp:168-170)
+        # and "Image {} saved to {}" (main.cpp:224).
+        print(f"Render time: {dt:.0f}ms", file=sys.stderr)
+        print(f"Image {i} saved to {out_path}", file=sys.stderr)
+
+    write_provenance(cfg.features, cfg.output_dir)
+    total = (time.perf_counter() - t_total) * 1000
+    print(f"Rendering took {total:.0f} ms, {len(cfg.cameras)} images "
+          f"rendered.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,10 +88,12 @@ def camera_position(cam: CameraParams) -> jnp.ndarray:
 
 
 def generate_rays(cam: CameraParams, height: int, width: int) -> Rays:
-    """Generate the full [H*W] primary ray grid in display order
+    """Generate the primary ray grid [3, H, W] in display order
     (row 0 = image top). Reference: genPrimaryRayHits NDC mapping
     (src/rendering/render_utils.cpp:23-26) + Trackball::generateRay
     (trackball.cpp:105-114)."""
+    from .vec import vnormalize
+
     q = quat_from_euler_xyz(cam.rotation)
     origin = cam.look_at + quat_rotate(q, jnp.array([0.0, 0.0, -1.0]) * cam.distance)
 
@@ -105,38 +107,53 @@ def generate_rays(cam: CameraParams, height: int, width: int) -> Rays:
     px, py = jnp.meshgrid(xs, ys)  # [H, W]
 
     dirs_cam = jnp.stack(
-        [-px * half_w, py * half_h, jnp.ones_like(px)], axis=-1
-    )  # [H, W, 3]
-    dirs_cam = dirs_cam / jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
-    dirs = quat_rotate(q, dirs_cam.reshape(-1, 3))
+        [-px * half_w, py * half_h, jnp.ones_like(px)], axis=0
+    )  # [3, H, W]
+    dirs_cam = vnormalize(dirs_cam)
+    dirs = quat_rotate_imgminor(q, dirs_cam)
 
-    origins = jnp.broadcast_to(origin, dirs.shape)
+    origins = jnp.broadcast_to(origin[:, None, None], dirs.shape)
     return Rays(origin=origins, direction=dirs)
+
+
+def quat_rotate_imgminor(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate image-minor vectors v [..., 3, H, W] by quaternion q."""
+    from .vec import vcross
+
+    qv = q[1:][:, None, None]  # [3, 1, 1]
+    w = q[0]
+    qvb = jnp.broadcast_to(qv, v.shape)
+    t = 2.0 * vcross(qvb, v)
+    return v + w * t + vcross(jnp.broadcast_to(qv, t.shape), t)
 
 
 def project_to_pixel(
     cam: CameraParams, points: jnp.ndarray, height: int, width: int
 ):
-    """Project world points [N, 3] back to (row, col) pixel coordinates under
-    ``cam`` — the inverse of generate_rays, used for temporal motion
-    reprojection (a capability the reference lacks: its temporal reuse indexes
-    the same screen coordinate, render_utils.cpp:151-172).
+    """Project world points [..., 3, H, W] back to (row, col) pixel
+    coordinates under ``cam`` — the inverse of generate_rays, used for
+    temporal motion reprojection (a capability the reference lacks: its
+    temporal reuse indexes the same screen coordinate,
+    render_utils.cpp:151-172).
 
-    Returns (rows [N] float32, cols [N] float32, in_front [N] bool).
+    Returns (rows, cols float32, in_front bool), each [..., H, W].
     """
+    from .vec import vx, vy, vz
+
     q = quat_from_euler_xyz(cam.rotation)
     origin = cam.look_at + quat_rotate(q, jnp.array([0.0, 0.0, -1.0]) * cam.distance)
     # Inverse rotation = conjugate quaternion.
     q_inv = q * jnp.array([1.0, -1.0, -1.0, -1.0])
-    v_cam = quat_rotate(q_inv, points - origin)  # camera space, forward = +z
+    v_cam = quat_rotate_imgminor(
+        q_inv, points - origin[:, None, None])  # camera space, forward = +z
 
     half_h = jnp.tan(cam.fovy * 0.5)
     half_w = cam.aspect * half_h
-    z = v_cam[..., 2]
+    z = vz(v_cam)
     in_front = z > 1e-6
     zs = jnp.where(in_front, z, 1.0)
-    px = -(v_cam[..., 0] / zs) / half_w  # [-1, 1]
-    py = (v_cam[..., 1] / zs) / half_h
+    px = -(vx(v_cam) / zs) / half_w  # [-1, 1]
+    py = (vy(v_cam) / zs) / half_h
 
     # Match the forward mapping: col index x has px = x/W*2-1 → x = (px+1)/2*W;
     # row r has py = (H-1-r)/H*2-1 → r = H-1 - (py+1)/2*H.

@@ -66,10 +66,14 @@ def vz(a):
 
 
 def from_table(table, idx):
-    """Gather [..., 3, H, W] vectors from a [L, 3] host table by an
-    [..., H, W] integer field."""
-    g = table[idx]  # [..., H, W, 3]
-    return jnp.moveaxis(g, -1, VEC_AXIS)
+    """Gather [..., C, H, W] vectors from a [L, C] host table by an
+    [..., H, W] integer field.
+
+    Gathers per component from [L] columns: a single `table[idx]` would
+    materialise a [..., C]-minor result that TPU pads C → 128 lanes (42x HBM
+    expansion measured at 1080p); per-component gathers stay image-minor."""
+    cols = [table[:, c][idx] for c in range(table.shape[1])]
+    return jnp.stack(cols, axis=VEC_AXIS)
 
 
 def const_vec(v, like=None):

@@ -1,4 +1,5 @@
-"""Ray-triangle intersection: batched Möller–Trumbore over the scene soup.
+"""Ray-triangle intersection: batched Möller–Trumbore over the scene soup,
+image-minor layout.
 
 This is the brute-force backend (every ray tests every triangle) — the
 baseline the BVH/Pallas backend (ops/traverse.py) is validated against, and
@@ -7,9 +8,9 @@ fused VPU loop beats divergent traversal).
 
 Reference analogs: EmbreeInterface::closestHit / anyHit
 (src/ray_tracing/embree_interface.cpp:58-90). Embree's rtcIntersect1 becomes a
-`lax.scan` over static triangle blocks with a running per-ray best hit: rays
-are the vector axis (VPU lanes), triangle blocks stream through VMEM, memory
-is O(N_rays * block) instead of O(N_rays * T).
+`lax.scan` over static triangle blocks with a running per-ray best hit: the
+(H, W) image axes are the vector lanes, triangle blocks stream through VMEM,
+memory is O(H*W*block) instead of O(H*W*T).
 
 Semantics:
 - closest hit accepts t in (0, t_max) and returns barycentrics (u toward v1,
@@ -24,78 +25,87 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.types import HitRecord, Rays
-from .shading import diffuse_albedo, safe_norm
 from ..core.features import Features
-from ..core.types import ShadeCtx
+from ..core.types import HitRecord, Rays, ShadeCtx
+from ..core.vec import e, vcross, vdot, vnorm
+from .shading import diffuse_albedo
 
 MT_EPSILON = 1e-9
 
 
-def _pick_block(num_rays: int, num_tris: int, budget: int = 1 << 23) -> int:
-    """Triangle block size so the [rays, block] working set stays ~budget."""
-    block = max(1, budget // max(num_rays, 1))
+def _pick_block(rays_size: int, num_tris: int, budget: int = 1 << 22) -> int:
+    """Triangle block size so the [block, rays...] working set stays ~budget
+    elements (several f32 temps per element)."""
+    block = max(1, budget // max(rays_size, 1))
     block = min(block, num_tris)
-    # Round to a divisor-friendly size (num_tris is a multiple of TRI_PAD=128).
     for cand in (128, 64, 32, 16, 8, 4, 2, 1):
         if cand <= block and num_tris % cand == 0:
             return cand
     return 1
 
 
+def _tri_blocks(geometry, block: int):
+    steps = geometry.num_tris // block
+
+    def split(a):  # [T, ...] → [steps, block, 3, 1, 1] (image-minor)
+        if a.ndim == 2:
+            return a.reshape(steps, block, a.shape[1], 1, 1)
+        return a.reshape(steps, block)
+
+    return jax.tree.map(
+        split, (geometry.v0, geometry.e1, geometry.e2, geometry.active)
+    ), steps
+
+
 def _mt_block(origins, dirs, v0, e1, e2, active):
-    """Möller–Trumbore for a [N] ray batch against a [B] triangle block.
-    Returns (t [N, B], u, v) with t = +inf on miss."""
-    d = dirs[:, None, :]  # [N, 1, 3]
-    o = origins[:, None, :]
-    pvec = jnp.cross(d, e2[None, :, :])  # [N, B, 3]
-    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)  # [N, B]
+    """Möller–Trumbore for rays [..., 3, H, W] against a triangle block
+    [B, 3, 1, 1]. Returns (t, u, v) shaped [..., B, H, W]; t = +inf on miss.
+    """
+    d = jnp.expand_dims(dirs, -4)  # [..., 1, 3, H, W]
+    o = jnp.expand_dims(origins, -4)
+    pvec = vcross(d, e2)  # [..., B, 3, H, W]
+    det = vdot(e1, pvec)  # [..., B, H, W]
     # Double-where keeps the backward pass NaN-free on degenerate triangles
     # (grad of 1/det at det→0 would otherwise poison vertex gradients).
     det_ok = jnp.abs(det) > MT_EPSILON
     det_safe = jnp.where(det_ok, det, 1.0)
     inv_det = jnp.where(det_ok, 1.0 / det_safe, 0.0)
-    tvec = o - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    vv = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    tvec = o - v0
+    u = vdot(tvec, pvec) * inv_det
+    qvec = vcross(tvec, e1)
+    vv = vdot(d, qvec) * inv_det
+    t = vdot(e2, qvec) * inv_det
     ok = (
         det_ok
         & (u >= 0.0) & (u <= 1.0)
         & (vv >= 0.0) & (u + vv <= 1.0)
         & (t > 0.0)
-        & active[None, :]
+        & active[..., None, None]
     )
     return jnp.where(ok, t, jnp.inf), u, vv
 
 
 def intersect_closest(rays: Rays, geometry, t_max=None):
-    """Closest hit of each ray against the whole soup.
+    """Closest hit of each primary ray against the whole soup.
 
-    Returns (t [N], tri_idx [N] int32, u [N], v [N]); t = +inf / tri = -1 on
-    miss. Reference: EmbreeInterface::closestHit (embree_interface.cpp:64-90).
-    """
-    n = rays.n
-    num_tris = geometry.num_tris
-    block = _pick_block(n, num_tris)
-    steps = num_tris // block
+    rays: origin/direction [3, H, W]. Returns (t, tri_idx, u, v) each [H, W];
+    t = +inf / tri = -1 on miss. Reference: EmbreeInterface::closestHit
+    (embree_interface.cpp:64-90)."""
+    h, w = rays.hw
+    block = _pick_block(h * w, geometry.num_tris)
+    blocks, steps = _tri_blocks(geometry, block)
 
-    tri_blocks = jax.tree.map(
-        lambda a: a.reshape((steps, block) + a.shape[1:]),
-        (geometry.v0, geometry.e1, geometry.e2, geometry.active),
-    )
-
-    tmax0 = jnp.full((n,), jnp.inf) if t_max is None else t_max
+    tmax0 = jnp.full((h, w), jnp.inf) if t_max is None else t_max
 
     def body(carry, blk):
         best_t, best_i, best_u, best_v, base = carry
         v0, e1, e2, act = blk
         t, u, v = _mt_block(rays.origin, rays.direction, v0, e1, e2, act)
-        t = jnp.where(t < tmax0[:, None], t, jnp.inf)
-        loc = jnp.argmin(t, axis=-1)  # [N] lowest index wins ties
-        rows = jnp.arange(n)
-        t_b, u_b, v_b = t[rows, loc], u[rows, loc], v[rows, loc]
+        t = jnp.where(t < tmax0, t, jnp.inf)  # [B, H, W]
+        loc = jnp.argmin(t, axis=0)  # [H, W], lowest index wins ties
+        t_b = jnp.take_along_axis(t, loc[None], axis=0)[0]
+        u_b = jnp.take_along_axis(u, loc[None], axis=0)[0]
+        v_b = jnp.take_along_axis(v, loc[None], axis=0)[0]
         better = t_b < best_t
         best_t = jnp.where(better, t_b, best_t)
         best_i = jnp.where(better, base + loc.astype(jnp.int32), best_i)
@@ -104,36 +114,35 @@ def intersect_closest(rays: Rays, geometry, t_max=None):
         return (best_t, best_i, best_u, best_v, base + block), None
 
     init = (
-        jnp.full((n,), jnp.inf),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
+        jnp.full((h, w), jnp.inf),
+        jnp.full((h, w), -1, jnp.int32),
+        jnp.zeros((h, w)),
+        jnp.zeros((h, w)),
         jnp.int32(0),
     )
-    (best_t, best_i, best_u, best_v, _), _ = jax.lax.scan(body, init, tri_blocks)
+    (best_t, best_i, best_u, best_v, _), _ = jax.lax.scan(body, init, blocks)
     return best_t, best_i, best_u, best_v
 
 
 def intersect_any(origins, dirs, t_max, geometry) -> jnp.ndarray:
     """Occlusion query: True where some triangle lies at t in (0, t_max).
+    origins/dirs [..., 3, H, W], t_max [..., H, W] → occluded [..., H, W].
     Reference: EmbreeInterface::anyHit (embree_interface.cpp:58-62)."""
-    n = origins.shape[0]
-    num_tris = geometry.num_tris
-    block = _pick_block(n, num_tris)
-    steps = num_tris // block
-
-    tri_blocks = jax.tree.map(
-        lambda a: a.reshape((steps, block) + a.shape[1:]),
-        (geometry.v0, geometry.e1, geometry.e2, geometry.active),
-    )
+    lead = origins.shape[:-3]
+    rays_size = 1
+    for s in lead + origins.shape[-2:]:
+        rays_size *= s
+    block = _pick_block(rays_size, geometry.num_tris)
+    blocks, steps = _tri_blocks(geometry, block)
 
     def body(occluded, blk):
         v0, e1, e2, act = blk
-        t, _, _ = _mt_block(origins, dirs, v0, e1, e2, act)
-        hit = jnp.any(t < t_max[:, None], axis=-1)
+        t, _, _ = _mt_block(origins, dirs, v0, e1, e2, act)  # [..., B, H, W]
+        hit = jnp.any(t < jnp.expand_dims(t_max, -3), axis=-3)
         return occluded | hit, None
 
-    occluded, _ = jax.lax.scan(body, jnp.zeros((n,), bool), tri_blocks)
+    init = jnp.zeros(lead + origins.shape[-2:], bool)
+    occluded, _ = jax.lax.scan(body, init, blocks)
     return occluded
 
 
@@ -141,20 +150,25 @@ def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:
     """Gather interpolated hit attributes (reference rtcInterpolate0 calls,
     embree_interface.cpp:76-81). Shading normals are normalized (deviation
     from the reference's raw interpolation — documented in ops/shading.py)."""
+    from ..core.vec import from_table
+
     valid = jnp.isfinite(t)
-    idx = jnp.maximum(tri, 0)
-    w = (1.0 - u - v)[..., None]
-    uu = u[..., None]
-    vv = v[..., None]
-    normal = w * geometry.n0[idx] + uu * geometry.n1[idx] + vv * geometry.n2[idx]
-    norm = safe_norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.maximum(norm, 1e-20)
-    uv = w * geometry.uv0[idx] + uu * geometry.uv1[idx] + vv * geometry.uv2[idx]
+    idx = jnp.maximum(tri, 0)  # [H, W]
+    bw = e(1.0 - u - v)  # [1, H, W]
+    bu = e(u)
+    bv = e(v)
+    normal = (bw * from_table(geometry.n0, idx)
+              + bu * from_table(geometry.n1, idx)
+              + bv * from_table(geometry.n2, idx))
+    normal = normal / jnp.maximum(e(vnorm(normal)), 1e-20)
+    uv = (bw * from_table(geometry.uv0, idx)
+          + bu * from_table(geometry.uv1, idx)
+          + bv * from_table(geometry.uv2, idx))
     return HitRecord(
         valid=valid,
         t=t,
-        normal=jnp.where(valid[..., None], normal, 0.0),
-        uv=jnp.where(valid[..., None], uv, 0.0),
+        normal=jnp.where(e(valid), normal, 0.0),
+        uv=jnp.where(e(valid), uv, 0.0),
         mat_id=jnp.where(valid, geometry.mat_id[idx], 0),
         geom_id=jnp.where(valid, geometry.geom_id[idx], -1),
         prim_id=jnp.where(valid, tri, -1),
@@ -165,15 +179,17 @@ def make_shade_ctx(rays: Rays, hits: HitRecord, geometry,
                    features: Features) -> ShadeCtx:
     """Bundle everything the target PDF / shading needs about the receiver."""
     safe_t = jnp.where(hits.valid, hits.t, 0.0)
-    position = rays.origin + safe_t[..., None] * rays.direction
+    position = rays.origin + e(safe_t) * rays.direction
     kd = diffuse_albedo(geometry, hits.mat_id, hits.uv, features)
+    from ..core.vec import from_table
+
     return ShadeCtx(
         valid=hits.valid,
         position=position,
         normal=hits.normal,
         view_origin=rays.origin,
         kd=kd,
-        ks=geometry.mat_ks[hits.mat_id],
+        ks=from_table(geometry.mat_ks, hits.mat_id),
         shininess=geometry.mat_shininess[hits.mat_id],
         geom_id=hits.geom_id,
         depth_t=safe_t,

@@ -1,4 +1,4 @@
-"""Phong shading, target PDF, and texture lookup — fully vectorised.
+"""Phong shading, target PDF, and texture lookup — image-minor layout.
 
 Reference analogs:
 - computeShading   (src/rendering/shading.cpp:7-34)
@@ -13,6 +13,9 @@ Deviations (documented, deliberate):
   integer shininess — a numerical quirk, not a feature.
 - Interpolated shading normals are normalized; the reference uses the raw
   rtcInterpolate0 output (embree_interface.cpp:76-77).
+
+All ctx fields are [..., H, W] ([..., 3, H, W] for vectors); sample tensors
+carry extra *leading* axes and broadcast against ctx via plain NumPy rules.
 """
 
 from __future__ import annotations
@@ -21,71 +24,53 @@ import jax.numpy as jnp
 
 from ..core.features import Features
 from ..core.types import ShadeCtx
+from ..core.vec import e, vdot, vnorm, vnormalize
 
 ZERO_EPSILON = 1e-5  # reference src/utils/utils.h:19
-
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def safe_norm(v, axis=-1, keepdims=False, eps=1e-30):
-    """L2 norm that is exactly 0 for the zero vector but with gradient 0
-    (not NaN) there — p_hat is a norm of a frequently-all-zero bsdf, so the
-    stock jnp.linalg.norm would NaN-poison every backward pass. Double-where
-    keeps both the value and the cotangent clean."""
-    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
-    ok = sq > eps
-    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
-
-
-def _normalize(v, eps=1e-20):
-    return v * jnp.reciprocal(jnp.sqrt(jnp.maximum(_dot(v, v), eps)))[..., None]
 
 
 def acquire_texel(tex_data, tex_size, tex_id, uv):
     """Nearest-neighbour texel fetch (reference src/scene/texture.cpp:4-9:
     x = u*(W-1), y = v*(H-1), row-major, no wrapping/filtering).
 
-    tex_data: [NT, TH, TW, 3]; tex_size: [NT, 2] (h, w); tex_id: [...] int32
-    (may be -1); uv: [..., 2]. Returns [..., 3] (garbage where tex_id < 0 —
-    callers select against it).
-    """
+    tex_data: [NT, TH, TW, 3]; tex_size: [NT, 2] (h, w); tex_id: [..., H, W]
+    int32 (may be -1); uv: [..., 2, H, W]. Returns [..., 3, H, W] (garbage
+    where tex_id < 0 — callers select against it)."""
     tid = jnp.maximum(tex_id, 0)
-    h = tex_size[tid, 0].astype(jnp.float32)
-    w = tex_size[tid, 1].astype(jnp.float32)
-    x = jnp.clip((uv[..., 0] * (w - 1.0)).astype(jnp.int32), 0,
-                 tex_data.shape[2] - 1)
-    y = jnp.clip((uv[..., 1] * (h - 1.0)).astype(jnp.int32), 0,
-                 tex_data.shape[1] - 1)
-    return tex_data[tid, y, x]
+    th = tex_size[tid, 0].astype(jnp.float32)
+    tw = tex_size[tid, 1].astype(jnp.float32)
+    u = jnp.take(uv, 0, axis=-3)
+    v = jnp.take(uv, 1, axis=-3)
+    x = jnp.clip((u * (tw - 1.0)).astype(jnp.int32), 0, tex_data.shape[2] - 1)
+    y = jnp.clip((v * (th - 1.0)).astype(jnp.int32), 0, tex_data.shape[1] - 1)
+    texel = tex_data[tid, y, x]  # [..., H, W, 3]
+    return jnp.moveaxis(texel, -1, -3)
 
 
 def diffuse_albedo(geometry, mat_id, uv, features: Features):
     """Per-pixel effective diffuse albedo: texture if present else material kd
     (reference diffuseAlbedo, utils.cpp:33-37)."""
-    kd = geometry.mat_kd[mat_id]
+    from ..core.vec import from_table
+
+    kd = from_table(geometry.mat_kd, mat_id)
     if not features.enable_texture_mapping:
         return kd
     tex_id = geometry.mat_tex_id[mat_id]
     texel = acquire_texel(geometry.tex_data, geometry.tex_size, tex_id, uv)
-    return jnp.where((tex_id >= 0)[..., None], texel, kd)
+    return jnp.where(e(tex_id >= 0), texel, kd)
 
 
 def phong_shade(
     ctx: ShadeCtx,
-    light_pos: jnp.ndarray,  # [..., 3] broadcastable against ctx fields [N, ...]
-    light_color: jnp.ndarray,  # [..., 3]
+    light_pos: jnp.ndarray,  # [..., 3, H, W], leading axes broadcast
+    light_color: jnp.ndarray,  # [..., 3, H, W]
     features: Features,
 ) -> jnp.ndarray:
-    """Phong diffuse + specular with inverse-square falloff.
+    """Phong diffuse + specular with inverse-square falloff → [..., 3, H, W].
 
     Matches computeShading (shading.cpp:7-34): early-out when the light is
     behind the surface, NaN scrubbing of both terms, distance clamped to 1
-    when within ZERO_EPSILON of 0. ``ctx`` fields broadcast against extra
-    sample dimensions in light_pos/light_color (e.g. [N, S, 3] vs [N, 3] →
-    callers insert the sample axis into ctx fields).
-    """
+    when within ZERO_EPSILON of 0."""
     if not features.enable_shading:
         return jnp.broadcast_to(
             ctx.kd, jnp.broadcast_shapes(ctx.kd.shape, light_pos.shape)
@@ -94,33 +79,33 @@ def phong_shade(
     p = ctx.position
     n = ctx.normal
     to_light = light_pos - p
-    dist2 = _dot(to_light, to_light)
+    dist2 = vdot(to_light, to_light)
     # Floor inside the sqrt: d(sqrt)/dx at 0 is inf and would NaN-poison
     # gradients of coincident light/surface pairs.
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
-    l_dir = to_light / jnp.maximum(dist, 1e-20)[..., None]
-    dot_nl = _dot(n, l_dir)
+    l_dir = to_light / e(jnp.maximum(dist, 1e-20))
+    dot_nl = vdot(n, l_dir)
 
-    v = _normalize(ctx.view_origin - p)
-    r = _normalize(2.0 * dot_nl[..., None] * n - l_dir)
-    cos_theta = _dot(r, v)
+    v = vnormalize(ctx.view_origin - p)
+    r = vnormalize(2.0 * e(dot_nl) * n - l_dir)
+    cos_theta = vdot(r, v)
 
-    diffuse = light_color * ctx.kd * dot_nl[..., None]
+    diffuse = light_color * ctx.kd * e(dot_nl)
     # Grad-safe clamped pow: d/dx x^s at x=0 is inf for s<1; route the
     # zero-specular branch through where on both value and base.
     cos_safe = jnp.maximum(cos_theta, 1e-12)
     spec_pow = jnp.where(cos_theta > 0.0,
                          jnp.power(cos_safe, ctx.shininess), 0.0)
-    specular = light_color * ctx.ks * spec_pow[..., None]
+    specular = light_color * ctx.ks * e(spec_pow)
     diffuse = jnp.where(jnp.isnan(diffuse), 0.0, diffuse)
     specular = jnp.where(jnp.isnan(specular), 0.0, specular)
 
     falloff_d = jnp.where(dist < ZERO_EPSILON, 1.0, dist)
-    out = (diffuse + specular) / (falloff_d * falloff_d)[..., None]
+    out = (diffuse + specular) / e(falloff_d * falloff_d)
 
     behind = dot_nl < 0.0
-    out = jnp.where(behind[..., None], 0.0, out)
-    return jnp.where(ctx.valid[..., None], out, 0.0)
+    out = jnp.where(e(behind), 0.0, out)
+    return jnp.where(e(ctx.valid), out, 0.0)
 
 
 def target_pdf(
@@ -128,9 +113,10 @@ def target_pdf(
     features: Features,
 ) -> jnp.ndarray:
     """p-hat = ||unshadowed Phong shading||_2 (reference targetPDF,
-    reservoir.cpp:106-109). Zero for missed pixels."""
+    reservoir.cpp:106-109) → [..., H, W]. Zero for missed pixels. vnorm is
+    grad-safe at 0 (the all-zero bsdf is the common case)."""
     bsdf = phong_shade(ctx, light_pos, light_color, features)
-    return safe_norm(bsdf, axis=-1)
+    return vnorm(bsdf)
 
 
 def exposure_tone_mapping(color: jnp.ndarray, features: Features) -> jnp.ndarray:
@@ -138,3 +124,11 @@ def exposure_tone_mapping(color: jnp.ndarray, features: Features) -> jnp.ndarray
     src/post_processing/tone_mapping.cpp:8-11)."""
     mapped = 1.0 - jnp.exp(-features.exposure * color)
     return jnp.power(jnp.maximum(mapped, 0.0), 1.0 / features.gamma)
+
+
+def safe_norm(v, axis=-1, keepdims=False, eps=1e-30):
+    """L2 norm over an arbitrary axis that is exactly 0 for the zero vector
+    with gradient 0 (not NaN) there."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    ok = sq > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)

@@ -24,9 +24,14 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), (TILE_AXIS,))
 
 
-def pixel_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (pixel) axis; all trailing axes replicated."""
-    return NamedSharding(mesh, P(TILE_AXIS))
+def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the image row axis (axis -2 in image-minor layout): tiles are
+    horizontal image bands. Leading sample axes and the lane (W) axis stay
+    replicated-contiguous per device."""
+    spec = [None] * ndim
+    if ndim >= 2:
+        spec[-2] = TILE_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -34,9 +39,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_pixels(tree, mesh: Mesh):
-    """Constrain every array in a pixel-major pytree to be sharded on its
-    leading axis."""
-    s = pixel_sharding(mesh)
+    """Constrain every array in an image-minor pytree to be sharded on its
+    row (H) axis."""
     return jax.tree.map(
-        lambda a: jax.lax.with_sharding_constraint(a, s), tree
+        lambda a: jax.lax.with_sharding_constraint(
+            a, row_sharding(mesh, a.ndim)),
+        tree,
     )

@@ -2,15 +2,13 @@
 
 Reference analog: renderReSTIR (src/rendering/render.cpp:28-62) and its
 building blocks (src/rendering/render_utils.cpp). Each phase is a pure
-function over flat [H*W] SoA state; the whole frame is one jittable function
-and an animation is a `lax.scan` over frames carrying ``TemporalState``
-(replacing the reference's shared_ptr<ReservoirGrid> frame carry,
-src/main.cpp:65,165).
+function over image-minor SoA state (core/vec.py layout); the whole frame is
+one jittable function and an animation is a `lax.scan` over frames carrying
+``TemporalState`` (replacing the reference's shared_ptr<ReservoirGrid> frame
+carry, src/main.cpp:65,165).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +17,7 @@ from flax import struct
 from ..core.camera import CameraParams, generate_rays, project_to_pixel
 from ..core.features import Features
 from ..core.types import Rays, Reservoirs, ShadeCtx, empty_reservoirs
+from ..core.vec import e, vdot
 from ..ops.intersect import intersect_closest, make_hit_record, make_shade_ctx
 from ..ops.shading import exposure_tone_mapping, phong_shade
 from ..ops.wrs import (
@@ -47,10 +46,17 @@ SPATIAL_NORMAL_COS = 0.90630778703
 class TemporalState:
     """Frame-to-frame carry for temporal reuse."""
 
-    reservoirs: Reservoirs  # [N, K]
-    ctx: ShadeCtx  # [N] previous frame's receiver geometry
+    reservoirs: Reservoirs  # [K, ..., H, W]
+    ctx: ShadeCtx  # previous frame's receiver geometry
     cam: CameraParams  # previous frame's camera (for motion reprojection)
     has_prev: jnp.ndarray  # [] bool
+
+
+def gather_image(a, ny, nx):
+    """Gather pixel data at integer coords ny/nx [R, H, W] from an
+    image-minor field a [..., H, W] → [R, ..., H, W]."""
+    g = a[..., ny, nx]  # [..., R, H, W]
+    return jnp.moveaxis(g, -3, 0)
 
 
 def trace_primary(rays: Rays, geometry, features: Features):
@@ -80,37 +86,30 @@ def temporal_reuse(
     previous camera) and validated with depth/normal gates — a capability the
     reference lacks (it reuses the same screen coordinate,
     render_utils.cpp:151-172; report §2)."""
-    n = current.n
-
     if features.temporal_reprojection:
         rows, cols, in_front = project_to_pixel(
             prev.cam, ctx.position, height, width
-        )
+        )  # each [H, W]
         ri = jnp.clip(jnp.round(rows).astype(jnp.int32), 0, height - 1)
         ci = jnp.clip(jnp.round(cols).astype(jnp.int32), 0, width - 1)
         in_bounds = (
             (rows >= -0.5) & (rows <= height - 0.5)
             & (cols >= -0.5) & (cols <= width - 0.5) & in_front
         )
-        idx = ri * width + ci
-        pred = jax.tree.map(lambda a: a[idx], prev.reservoirs)
-        pred_ctx = jax.tree.map(lambda a: a[idx], prev.ctx)
-        # Validity gates: same submesh, depth within 10%, normals within 25°
-        # (reuse of the reference's similarity thresholds, fixed — see
+        pred = jax.tree.map(lambda a: a[..., ri, ci], prev.reservoirs)
+        pred_ctx = jax.tree.map(lambda a: a[..., ri, ci], prev.ctx)
+        # Validity gates: depth within 10%, normals within 25° (reuse of the
+        # reference's similarity thresholds, fixed — see
         # neighbour_selection.cpp:16-18 bug note).
         depth_ok = (
             jnp.abs(1.0 - pred_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20))
             <= SPATIAL_DEPTH_FRAC
         )
-        normal_ok = (
-            jnp.sum(pred_ctx.normal * ctx.normal, axis=-1) >= SPATIAL_NORMAL_COS
-        )
-        pred_mask = (
-            in_bounds & ctx.valid & pred_ctx.valid & depth_ok & normal_ok
-        )
+        normal_ok = vdot(pred_ctx.normal, ctx.normal) >= SPATIAL_NORMAL_COS
+        pred_mask = in_bounds & ctx.valid & pred_ctx.valid & depth_ok & normal_ok
     else:
         pred = prev.reservoirs
-        pred_mask = jnp.ones((n,), bool)
+        pred_mask = jnp.ones((height, width), bool)
 
     pred_mask = pred_mask & prev.has_prev
 
@@ -118,9 +117,10 @@ def temporal_reuse(
                             float(features.temporal_clamp_m))
 
     inputs = jax.tree.map(
-        lambda a, b: jnp.stack([a, b], axis=1), current, pred
-    )  # [N, 2, K, ...]
-    in_mask = jnp.stack([jnp.ones((n,), bool), pred_mask], axis=1)
+        lambda a, b: jnp.stack([a, b], axis=0), current, pred
+    )  # [2, K, ..., H, W]
+    in_mask = jnp.stack(
+        [jnp.ones((height, width), bool), pred_mask], axis=0)
     return combine_biased(key, ctx, inputs, in_mask, features)
 
 
@@ -138,56 +138,52 @@ def spatial_reuse(
     in the ±radius box (clamped to the screen), rejects dissimilar neighbours
     when using the biased combine (depth/normal gates,
     render_utils.cpp:113-118), and combines {neighbours..., self}."""
-    n = height * width
     k_n = features.num_neighbours_to_sample
     radius = features.spatial_resample_radius
 
-    rows = jnp.arange(n, dtype=jnp.int32) // width
-    cols = jnp.arange(n, dtype=jnp.int32) % width
+    rows = jnp.arange(height, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
 
     for p in range(features.spatial_resampling_passes):
         kp = jax.random.fold_in(key, p)
-        offs = jax.random.randint(kp, (n, k_n, 2), -radius, radius + 1)
-        ny = jnp.clip(rows[:, None] + offs[..., 0], 0, height - 1)
-        nx = jnp.clip(cols[:, None] + offs[..., 1], 0, width - 1)
-        nidx = ny * width + nx  # [N, k_n]
+        offs = jax.random.randint(kp, (2, k_n, height, width),
+                                  -radius, radius + 1)
+        ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
+        nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
 
-        nbr = jax.tree.map(lambda a: a[nidx], reservoirs)  # [N, k_n, K, ...]
-        nbr_ctx = jax.tree.map(lambda a: a[nidx], ctx)  # [N, k_n, ...]
+        nbr = jax.tree.map(
+            lambda a: gather_image(a, ny, nx), reservoirs
+        )  # [R, K, ..., H, W]
+        nbr_ctx = jax.tree.map(
+            lambda a: gather_image(a, ny, nx), ctx
+        )  # [R, ..., H, W]
 
         if features.unbiased_combination:
-            nbr_mask = jnp.ones((n, k_n), bool)
+            nbr_mask = jnp.ones((k_n, height, width), bool)
         else:
             depth_ok = (
                 jnp.abs(
-                    1.0 - nbr_ctx.depth_t / jnp.maximum(ctx.depth_t[:, None],
-                                                        1e-20)
+                    1.0 - nbr_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20)
                 )
                 <= SPATIAL_DEPTH_FRAC
             )
-            normal_ok = (
-                jnp.sum(nbr_ctx.normal * ctx.normal[:, None], axis=-1)
-                >= SPATIAL_NORMAL_COS
-            )
-            nbr_mask = (
-                depth_ok & normal_ok & ctx.valid[:, None] & nbr_ctx.valid
-            )
+            normal_ok = vdot(nbr_ctx.normal, ctx.normal) >= SPATIAL_NORMAL_COS
+            nbr_mask = depth_ok & normal_ok & ctx.valid & nbr_ctx.valid
 
         # Stream order in the reference is [neighbours..., self]
         # (render_utils.cpp:121-124); order is immaterial here (order-invariant
         # selection) but the mask layout mirrors it.
         inputs = jax.tree.map(
-            lambda nb, s: jnp.concatenate([nb, s[:, None]], axis=1),
-            nbr, jax.tree.map(lambda a: a, reservoirs),
+            lambda nb, s: jnp.concatenate([nb, s[None]], axis=0),
+            nbr, reservoirs,
         )
         in_mask = jnp.concatenate(
-            [nbr_mask, jnp.ones((n, 1), bool)], axis=1
-        )
+            [nbr_mask, jnp.ones((1, height, width), bool)], axis=0)
 
         kc = jax.random.fold_in(kp, 1000)
         if features.unbiased_combination:
             input_ctxs = jax.tree.map(
-                lambda nc, s: jnp.concatenate([nc, s[:, None]], axis=1),
+                lambda nc, s: jnp.concatenate([nc, s[None]], axis=0),
                 nbr_ctx, ctx,
             )
             reservoirs = combine_unbiased(
@@ -202,14 +198,12 @@ def spatial_reuse(
 def final_shade(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
                 features: Features) -> jnp.ndarray:
     """Final shading (reference finalShading, render_utils.cpp:54-65):
-    per lane, visibility ray × Phong × W, averaged over the K lanes."""
-    vis = visibility(ctx.position[:, None], reservoirs.pos, geometry)  # [N, K]
-    shade = phong_shade(
-        jax.tree.map(lambda a: a[:, None], ctx),
-        reservoirs.pos, reservoirs.color, features,
-    )  # [N, K, 3]
-    contrib = jnp.where(vis[..., None], shade, 0.0) * reservoirs.big_w[..., None]
-    return jnp.sum(contrib, axis=1) / reservoirs.k
+    per lane, visibility ray × Phong × W, averaged over the K lanes.
+    → [3, H, W]."""
+    vis = visibility(ctx.position, reservoirs.pos, geometry)  # [K, H, W]
+    shade = phong_shade(ctx, reservoirs.pos, reservoirs.color, features)
+    contrib = jnp.where(e(vis), shade, 0.0) * e(reservoirs.big_w)
+    return jnp.sum(contrib, axis=0) / reservoirs.k
 
 
 def render_restir_frame(
@@ -248,7 +242,7 @@ def render_restir_frame(
     color = final_shade(ctx, res, geometry, features)
     if features.enable_tone_mapping:
         color = exposure_tone_mapping(color, features)
-    image = color.reshape(height, width, 3)
+    image = jnp.moveaxis(color, 0, -1)  # [H, W, 3] for display/output
 
     state = TemporalState(
         reservoirs=res, ctx=ctx, cam=cam, has_prev=jnp.array(True)
@@ -259,14 +253,14 @@ def render_restir_frame(
 def initial_temporal_state(height: int, width: int, k: int,
                            cam: CameraParams) -> TemporalState:
     """Zero-filled carry for the first frame (mask has_prev=False)."""
-    n = height * width
-    z3 = jnp.zeros((n, 3))
+    z3 = jnp.zeros((3, height, width))
+    zs = jnp.zeros((height, width))
     ctx = ShadeCtx(
-        valid=jnp.zeros((n,), bool), position=z3, normal=z3, view_origin=z3,
-        kd=z3, ks=z3, shininess=jnp.zeros((n,)),
-        geom_id=jnp.full((n,), -1, jnp.int32), depth_t=jnp.zeros((n,)),
+        valid=jnp.zeros((height, width), bool), position=z3, normal=z3,
+        view_origin=z3, kd=z3, ks=z3, shininess=zs,
+        geom_id=jnp.full((height, width), -1, jnp.int32), depth_t=zs,
     )
     return TemporalState(
-        reservoirs=empty_reservoirs(n, k), ctx=ctx, cam=cam,
+        reservoirs=empty_reservoirs(height, width, k), ctx=ctx, cam=cam,
         has_prev=jnp.array(False),
     )

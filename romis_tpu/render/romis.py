@@ -1,0 +1,174 @@
+"""R-OMIS: reservoir-based optimal multiple importance sampling.
+
+Reference: renderROMIS (src/rendering/render.cpp:121-265). Per pixel, a
+(D+1)×(D+1) technique matrix A and one contribution vector b per color
+channel accumulate over iterations; the optimal per-technique weights α solve
+A α = b (minimum-norm least squares — the reference uses Eigen's
+completeOrthogonalDecomposition, render_utils.h:52; we use a batched
+pseudoinverse). The final pixel value is the sum of α components (direct
+estimator, render.cpp:234-264) or a running progressive estimate
+(render.cpp:159-204).
+
+Per-sample math (render.cpp:168-219):
+- colVecW[j] = 1 / W'_j  where W'_j is the *mock* unbiased contribution
+  weight of the sample under technique j
+  (arbitraryUnbiasedContributionWeightReciprocal, render_utils.cpp:245-257):
+  W'_j = (1/p̂_j) (1/M_j[k]) (wSum_j[k] − chosenW_j[k] + p̂_j·|lights|)
+- scale = 1 / (FLT_MIN + Σ_j K·colVecW[j]);  ŵ = scale·colVecW
+- A += ŵ ŵᵀ;  b_c += scale·ŵ·f_c   (yes, scale enters b twice — faithful to
+  render.cpp:205-218)
+
+Bug fixed vs reference: ``fractionOfTotalSamples`` is integer division
+K/(D+1) = 0 in C++ (render.cpp:139), which makes the progressive estimator
+divide by FLT_MIN; we use the float ratio.
+
+Layout: image-minor. A is accumulated as [D1, D1, H, W] and transposed to
+[H, W, D1, D1] once for the batched solve.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraParams, generate_rays
+from ..core.features import Features
+from ..core.vec import e
+from ..ops.shading import exposure_tone_mapping, phong_shade, target_pdf
+from ..ops.wrs import gen_canonical_samples, visibility
+from .neighbours import select_neighbour_indices
+from .restir import gather_image, trace_primary
+from .rmis import FLT_MIN, PH_ITER, PH_NEIGHBOURS, _gather_neighbourhood
+
+
+def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
+    """colVecW for every (distribution d, lane k) sample evaluated under
+    every technique j. Returns (colvec [J, D1, K, H, W], per-sample shading
+    inputs). Streams over the d axis to bound memory."""
+    d1 = nb.pos.shape[0]
+
+    def per_d(d):
+        pos_d = nb.pos[d]  # [K, 3, H, W]
+        color_d = nb.color[d]
+        # p̂ under every technique j's geometry: ctx_j [J, 1, ...] × [K, ...]
+        ctx_j = jax.tree.map(lambda a: a[:, None], nbhd_ctx)
+        p_hat_j = target_pdf(ctx_j, pos_d, color_d, features)  # [J, K, H, W]
+        w_sum_j = nb.w_sum  # [J, K, H, W] (lane k bookkeeping of pixel j)
+        chosen_j = nb.chosen_w
+        m_j = nb.m
+        mock_w = p_hat_j * float(num_lights)
+        w_prime = (
+            (1.0 / jnp.maximum(p_hat_j, 1e-37))
+            * (1.0 / jnp.maximum(m_j, 1e-37))
+            * (w_sum_j - chosen_j + mock_w)
+        )
+        colvec = jnp.where(
+            (p_hat_j > 0.0) & (jnp.abs(w_prime) > 1e-37),
+            1.0 / jnp.where(jnp.abs(w_prime) > 1e-37, w_prime, 1.0),
+            0.0,
+        )
+        return colvec  # [J, K, H, W]
+
+    return jnp.stack([per_d(d) for d in range(d1)], axis=1)  # [J, D1, K, H, W]
+
+
+def render_romis(
+    key,
+    cam: CameraParams,
+    geometry,
+    lights,
+    num_lights: int,
+    height: int,
+    width: int,
+    features: Features,
+    return_alphas: bool = False,
+):
+    """Full R-OMIS render → tone-mapped image [H, W, 3] (and optionally the
+    per-technique α images [D1, H, W, 3] — the reference's visualiseAlphas
+    data, render_utils.cpp:189-243)."""
+    d1 = features.num_neighbours_to_sample + 1
+    k_lanes = features.num_samples_in_reservoir
+
+    rays = generate_rays(cam, height, width)
+    _, ctx = trace_primary(rays, geometry, features)
+    ny, nx = select_neighbour_indices(
+        jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
+    )
+    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx)  # fields [D1, ..., H, W]
+
+    a_mat = jnp.zeros((d1, d1, height, width))
+    b_vec = jnp.zeros((3, d1, height, width))
+
+    # ===== progressive-only state (render.cpp:144-151) =====
+    final_colors = jnp.zeros((3, height, width))
+    alphas = jnp.zeros((3, d1, height, width))
+    total_samples = float(d1 * k_lanes)
+    frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
+
+    def solve(a_mat, b_vec):
+        """Batched min-norm least squares α = A⁺ b per channel.
+        a_mat [D1, D1, H, W], b_vec [3, D1, H, W] → α [3, D1, H, W]."""
+        a_t = jnp.moveaxis(a_mat, (-2, -1), (0, 1))  # [H, W, D1, D1]
+        b_t = jnp.moveaxis(b_vec, (-2, -1), (0, 1))  # [H, W, 3, D1]
+        pinv = jnp.linalg.pinv(a_t, rcond=1e-6)  # [H, W, D1, D1]
+        alpha = jnp.einsum("hwij,hwcj->hwci", pinv, b_t)
+        return jnp.moveaxis(alpha, (0, 1), (-2, -1))  # [3, D1, H, W]
+
+    it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
+                               features.max_iterations_mis)
+
+    for iteration in range(features.max_iterations_mis):
+        res = gen_canonical_samples(it_keys[iteration], ctx, lights,
+                                    num_lights, geometry, features)
+        nb = _gather_neighbourhood(res, ny, nx)  # fields [D1, K, ..., H, W]
+
+        # ===== progressive: refresh α estimates (render.cpp:161-165) =====
+        if (features.use_progressive_romis and iteration >= 1
+                and iteration % features.progressive_update_mod == 0):
+            alphas = solve(a_mat, b_vec)
+        if features.use_progressive_romis:
+            # render.cpp:171-174: the pixelIdx loop adds α(pixelIdx) once per
+            # distribution → Σ_d α_d per iteration.
+            final_colors = final_colors + jnp.sum(alphas, axis=1)
+
+        colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
+        # colvec: [J, D1(d), K, H, W]
+
+        # Shading of each (d, k) sample at the receiver (render.cpp:187-189).
+        shade = phong_shade(ctx, nb.pos, nb.color, features)  # [D1,K,3,H,W]
+        vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
+        f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
+
+        # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210)
+        scale = 1.0 / (FLT_MIN + float(k_lanes)
+                       * jnp.sum(colvec, axis=0))  # [D1, K, H, W]
+        w_hat = colvec * scale[None]  # [J, D1, K, H, W]
+
+        # A += Σ_{d,k} ŵ ŵᵀ (render.cpp:212)
+        a_mat = a_mat + jnp.einsum("idkhw,jdkhw->ijhw", w_hat, w_hat)
+        # b_c += Σ_{d,k} scale · ŵ · f_c (render.cpp:213-218)
+        b_vec = b_vec + jnp.einsum(
+            "jdkhw,dkchw->cjhw", w_hat * scale[None], f)
+
+        # ===== progressive per-sample estimate (render.cpp:191-204) =====
+        if features.use_progressive_romis:
+            sum_alpha_prod = jnp.einsum(
+                "cjhw,jdkhw->dkchw", alphas, colvec)  # [D1, K, 3, H, W]
+            sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
+            contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
+            final_colors = final_colors + (
+                jnp.sum(contrib, axis=(0, 1)) / total_samples)
+
+    if features.use_progressive_romis:
+        color = final_colors / features.max_iterations_mis  # combineToScreen
+        alpha_out = alphas
+    else:
+        alpha_out = solve(a_mat, b_vec)  # [3, D1, H, W]
+        color = jnp.sum(alpha_out, axis=1)  # [3, H, W]
+
+    if features.enable_tone_mapping:
+        color = exposure_tone_mapping(color, features)
+    image = jnp.moveaxis(color, 0, -1)
+    if return_alphas:
+        return image, jnp.moveaxis(alpha_out, 0, -1)  # [D1, H, W, 3]
+    return image

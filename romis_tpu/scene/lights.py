@@ -95,23 +95,30 @@ class LightListBuilder:
 
 def sample_lights(
     lights: LightTable,
-    light_idx: jnp.ndarray,  # [...] int32
-    u: jnp.ndarray,  # [...] uniform in [0, 1]
-    v: jnp.ndarray,  # [...] uniform in [0, 1]
+    light_idx: jnp.ndarray,  # [..., H, W] int32
+    u: jnp.ndarray,  # [..., H, W] uniform in [0, 1]
+    v: jnp.ndarray,  # [..., H, W] uniform in [0, 1]
 ):
-    """Vectorised light sampling. Returns (position [..., 3], color [..., 3]).
+    """Vectorised light sampling in image-minor layout. Returns
+    (position [..., 3, H, W], color [..., 3, H, W]).
 
     Matches sampleParallelogramLight (light.cpp:27-34) with the point/segment
     cases falling out of the canonicalised table.
     """
-    v0 = lights.v0[light_idx]
-    e01 = lights.edge01[light_idx]
-    e02 = lights.edge02[light_idx]
-    uu = u[..., None]
-    vv = v[..., None]
+    from ..core.vec import e, from_table
+
+    v0 = from_table(lights.v0, light_idx)
+    e01 = from_table(lights.edge01, light_idx)
+    e02 = from_table(lights.edge02, light_idx)
+    uu = e(u)
+    vv = e(v)
     pos = v0 + uu * e01 + vv * e02
-    lerp01 = lights.c0[light_idx] * (1.0 - uu) + lights.c1[light_idx] * uu
-    lerp23 = lights.c2[light_idx] * (1.0 - uu) + lights.c3[light_idx] * uu
+    c0 = from_table(lights.c0, light_idx)
+    c1 = from_table(lights.c1, light_idx)
+    c2 = from_table(lights.c2, light_idx)
+    c3 = from_table(lights.c3, light_idx)
+    lerp01 = c0 * (1.0 - uu) + c1 * uu
+    lerp23 = c2 * (1.0 - uu) + c3 * uu
     color = lerp01 * (1.0 - vv) + lerp23 * vv
     return pos, color
 

@@ -72,13 +72,14 @@ def test_ray_grid_structure():
     cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0), distance=3.0,
                       fov_deg=60, resolution=(h, w))
     rays = generate_rays(cam, h, w)
-    assert rays.origin.shape == (h * w, 3)
+    assert rays.origin.shape == (3, h, w)
     np.testing.assert_allclose(
-        np.linalg.norm(np.asarray(rays.direction), axis=-1), 1.0, rtol=1e-5)
-    d = np.asarray(rays.direction).reshape(h, w, 3)
+        np.linalg.norm(np.asarray(rays.direction), axis=0), 1.0, rtol=1e-5)
+    d = np.moveaxis(np.asarray(rays.direction), 0, -1)  # [H, W, 3]
     # All rays share the camera origin.
     o = np.asarray(rays.origin)
-    np.testing.assert_allclose(o, np.broadcast_to(o[0], o.shape), atol=1e-6)
+    np.testing.assert_allclose(
+        o, np.broadcast_to(o[:, :1, :1], o.shape), atol=1e-6)
     # Row 0 is the image top: +y in camera space (py > 0 up).
     assert d[0, :, 1].mean() > d[-1, :, 1].mean()
     # Reference negates x: leftmost column (px = -1) has the *largest*
@@ -105,9 +106,10 @@ def test_ray_matches_reference_formula():
     px = x / w * 2 - 1
     py = (h - 1 - r) / h * 2 - 1
     d = _np_rotate(q, normalize(np.array([-px * half_h, py * half_h, 1.0])))
-    i = r * w + x
-    np.testing.assert_allclose(np.asarray(rays.origin)[i], pos, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(rays.direction)[i], d, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays.origin)[:, r, x], pos,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays.direction)[:, r, x], d,
+                               atol=1e-5)
 
 
 def normalize(v):
@@ -124,7 +126,7 @@ def test_project_inverts_generate():
     rows, cols, in_front = project_to_pixel(cam, jnp.asarray(pts), h, w)
     rows, cols = np.asarray(rows), np.asarray(cols)
     assert np.asarray(in_front).all()
-    want_r = np.repeat(np.arange(h), w)
-    want_c = np.tile(np.arange(w), h)
+    want_r = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    want_c = np.broadcast_to(np.arange(w)[None, :], (h, w))
     np.testing.assert_allclose(rows, want_r, atol=0.02)
     np.testing.assert_allclose(cols, want_c, atol=0.02)

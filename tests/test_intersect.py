@@ -2,16 +2,14 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
-from romis_tpu.core.features import Features
-from romis_tpu.core.types import Rays
 from romis_tpu.ops.intersect import (
     intersect_any, intersect_closest, make_hit_record,
 )
 from romis_tpu.scene.objloader import SubMesh, Material
 from romis_tpu.scene.scene import build_geometry, load_prebuilt
 
+from helpers import make_rays, pack_scalar, unpack_scalar, unpack_vec
 from oracle import closest_hit as oracle_closest
 
 
@@ -38,9 +36,9 @@ def test_closest_hit_matches_oracle():
     dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    rays = Rays(origin=jnp.asarray(origins), direction=jnp.asarray(dirs))
+    rays = make_rays(origins, dirs)
     t, tri, u, v = intersect_closest(rays, geometry)
-    t, tri = np.asarray(t), np.asarray(tri)
+    t, tri = unpack_scalar(t), unpack_scalar(tri)
 
     oracle_tris = [(tr[0].astype(np.float64),
                     (tr[1] - tr[0]).astype(np.float64),
@@ -65,15 +63,32 @@ def test_any_hit_consistent_with_closest():
     dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    rays = Rays(origin=jnp.asarray(origins), direction=jnp.asarray(dirs))
-    t, _, _, _ = intersect_closest(rays, geometry)
-    t = np.asarray(t)
+    rays = make_rays(origins, dirs)
+    t = unpack_scalar(intersect_closest(rays, geometry)[0])
 
     t_max = np.full((n_rays,), 1.5, np.float32)
-    occ = np.asarray(intersect_any(jnp.asarray(origins), jnp.asarray(dirs),
-                                   jnp.asarray(t_max), geometry))
+    occ = unpack_scalar(intersect_any(rays.origin, rays.direction,
+                                      pack_scalar(t_max), geometry))
     # Occluded ⇔ closest hit within t_max.
     np.testing.assert_array_equal(occ, np.isfinite(t) & (t < t_max))
+
+
+def test_any_hit_with_leading_sample_dims():
+    """Shadow-ray batches carry leading sample axes [S, 3, H, W]."""
+    rng = np.random.default_rng(9)
+    geometry, _ = _random_geometry(rng, n_tris=10)
+    n_rays, s = 32, 3
+    origins = rng.uniform(-2, 2, (s, n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(s, n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.asarray(origins.transpose(0, 2, 1)[:, :, None, :])  # [S,3,1,N]
+    d = jnp.asarray(dirs.transpose(0, 2, 1)[:, :, None, :])
+    t_max = jnp.full((s, 1, n_rays), 2.0)
+    occ = np.asarray(intersect_any(o, d, t_max, geometry))  # [S, 1, N]
+    # Each leading slice must equal the independent per-slice query.
+    for i in range(s):
+        occ_i = np.asarray(intersect_any(o[i], d[i], t_max[i], geometry))
+        np.testing.assert_array_equal(occ[i], occ_i)
 
 
 def test_single_triangle_barycentrics():
@@ -87,18 +102,21 @@ def test_single_triangle_barycentrics():
     geometry = build_geometry([sm])
     origins = np.array([[0.25, 0.25, 1.0], [0.9, 0.9, 1.0]], np.float32)
     dirs = np.array([[0, 0, -1], [0, 0, -1]], np.float32)
-    rays = Rays(origin=jnp.asarray(origins), direction=jnp.asarray(dirs))
+    rays = make_rays(origins, dirs)
     t, tri, u, v = intersect_closest(rays, geometry)
-    assert np.asarray(tri)[0] == 0 and np.asarray(tri)[1] == -1
-    np.testing.assert_allclose(np.asarray(t)[0], 1.0, rtol=1e-5)
+    tri_f = unpack_scalar(tri)
+    assert tri_f[0] == 0 and tri_f[1] == -1
+    np.testing.assert_allclose(unpack_scalar(t)[0], 1.0, rtol=1e-5)
     # Barycentric u toward v1, v toward v2 → equals hit (x, y) here.
-    np.testing.assert_allclose(np.asarray(u)[0], 0.25, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(v)[0], 0.25, atol=1e-5)
+    np.testing.assert_allclose(unpack_scalar(u)[0], 0.25, atol=1e-5)
+    np.testing.assert_allclose(unpack_scalar(v)[0], 0.25, atol=1e-5)
 
     hits = make_hit_record(rays, geometry, t, tri, u, v)
-    np.testing.assert_allclose(np.asarray(hits.uv)[0], [0.25, 0.25], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(hits.normal)[0], [0, 0, 1], atol=1e-5)
-    assert not bool(np.asarray(hits.valid)[1])
+    np.testing.assert_allclose(np.asarray(hits.uv)[:, 0, 0], [0.25, 0.25],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hits.normal)[:, 0, 0], [0, 0, 1],
+                               atol=1e-5)
+    assert not bool(np.asarray(hits.valid)[0, 1])
 
 
 def test_prebuilt_scene_counts():
@@ -122,6 +140,6 @@ def test_padding_never_hits():
     origins = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
     dirs = rng.normal(size=(64, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    rays = Rays(origin=jnp.asarray(origins), direction=jnp.asarray(dirs))
+    rays = make_rays(origins, dirs)
     _, tri, _, _ = intersect_closest(rays, geometry)
-    assert np.asarray(tri).max() < 1  # only the real triangle (or miss)
+    assert unpack_scalar(tri).max() < 1  # only the real triangle (or miss)

@@ -8,7 +8,7 @@ import pytest
 
 from romis_tpu.core.camera import make_camera, generate_rays
 from romis_tpu.core.features import Features
-from romis_tpu.ops.intersect import intersect_closest, make_hit_record, make_shade_ctx
+from romis_tpu.core.vec import e
 from romis_tpu.ops.shading import phong_shade
 from romis_tpu.ops.wrs import visibility
 from romis_tpu.render.restir import (
@@ -71,21 +71,20 @@ def _ground_truth(scene, cam, feats, n_samples=4096, seed=123):
     rays = generate_rays(cam, h, w)
     _, ctx = trace_primary(rays, scene.geometry, feats)
     key = jax.random.PRNGKey(seed)
-    n = h * w
-    total = jnp.zeros((n, 3))
-    chunk = 256
+    total = jnp.zeros((3, h, w))
+    chunk = 64
     for s in range(0, n_samples, chunk):
         k = jax.random.fold_in(key, s)
         k1, k2 = jax.random.split(k)
-        idx = jax.random.randint(k1, (n, chunk), 0, scene.num_lights)
-        uv = jax.random.uniform(k2, (n, chunk, 2))
-        pos, color = sample_lights(scene.lights, idx, uv[..., 0], uv[..., 1])
-        ctx_e = jax.tree.map(lambda a: a[:, None], ctx)
-        f = phong_shade(ctx_e, pos, color, feats)
-        vis = visibility(ctx.position[:, None], pos, scene.geometry)
-        contrib = jnp.where(vis[..., None], f, 0.0) * scene.num_lights
-        total = total + contrib.sum(axis=1)
-    return np.asarray(total / n_samples).reshape(h, w, 3)
+        idx = jax.random.randint(k1, (chunk, h, w), 0, scene.num_lights)
+        uv = jax.random.uniform(k2, (2, chunk, h, w))
+        pos, color = sample_lights(scene.lights, idx, uv[0], uv[1])
+        f = phong_shade(ctx, pos, color, feats)  # [chunk, 3, h, w]
+        vis = visibility(ctx.position, pos, scene.geometry)  # [chunk, h, w]
+        contrib = jnp.where(e(vis), f, 0.0) * scene.num_lights
+        total = total + contrib.sum(axis=0)
+    img = np.asarray(total / n_samples)  # [3, h, w]
+    return np.moveaxis(img, 0, -1)
 
 
 def test_ris_estimator_matches_ground_truth(cornell, cam):
@@ -124,7 +123,7 @@ def test_spatial_reuse_reduces_variance(cornell, cam):
                     enable_tone_mapping=False, initial_light_samples=4)
     spat = base.replace(spatial_reuse=True, spatial_resample_radius=2)
 
-    def frames(feats, n=24):
+    def frames(feats, n=48):
         h, w = HW
         state = initial_temporal_state(h, w, feats.num_samples_in_reservoir,
                                        cam)
@@ -136,10 +135,14 @@ def test_spatial_reuse_reduces_variance(cornell, cam):
             for f in range(n)
         ])
 
-    v_base = frames(base).var(axis=0).mean()
-    v_spat = frames(spat).var(axis=0).mean()
-    # Material reduction expected; loose threshold — 24 frames is noisy.
-    assert v_spat < 0.75 * v_base, (v_spat, v_base)
+    # Median per-pixel variance ratio over lit pixels — robust to the few
+    # huge-variance pixels adjacent to the light that dominate the mean.
+    f_base, f_spat = frames(base), frames(spat)
+    lit = f_base.mean(axis=0).mean(axis=-1) > 0.01
+    v_base = f_base.var(axis=0).mean(axis=-1)[lit]
+    v_spat = f_spat.var(axis=0).mean(axis=-1)[lit]
+    ratio = np.median(v_spat / np.maximum(v_base, 1e-12))
+    assert ratio < 0.7, (ratio, v_base.mean(), v_spat.mean())
 
 
 def test_temporal_reuse_converges(cornell, cam):

@@ -1,15 +1,14 @@
 """Phong shading / target PDF / tone mapping vs the NumPy oracle."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from romis_tpu.core.features import Features
-from romis_tpu.core.types import ShadeCtx
 from romis_tpu.ops.shading import (
     exposure_tone_mapping, phong_shade, target_pdf,
 )
 
+from helpers import make_ctx, pack_vec, unpack_vec, unpack_scalar, pack_scalar
 from oracle import phong as oracle_phong
 
 
@@ -17,16 +16,13 @@ def _ctx(n, rng):
     pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
     nrm = rng.normal(size=(n, 3)).astype(np.float32)
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    return ShadeCtx(
-        valid=jnp.ones((n,), bool),
-        position=jnp.asarray(pos),
-        normal=jnp.asarray(nrm),
-        view_origin=jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32)),
-        kd=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
-        ks=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
-        shininess=jnp.asarray(rng.uniform(1, 30, (n,)).astype(np.float32)),
-        geom_id=jnp.zeros((n,), jnp.int32),
-        depth_t=jnp.ones((n,)),
+    return make_ctx(
+        position=pos,
+        normal=nrm,
+        view_origin=rng.uniform(-3, 3, (n, 3)).astype(np.float32),
+        kd=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        ks=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        shininess=rng.uniform(1, 30, (n,)).astype(np.float32),
     )
 
 
@@ -37,55 +33,49 @@ def test_phong_matches_oracle():
     lp = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
     lc = rng.uniform(0, 2, (n, 3)).astype(np.float32)
     feats = Features()
-    got = np.asarray(phong_shade(ctx, jnp.asarray(lp), jnp.asarray(lc), feats))
+    got = unpack_vec(phong_shade(ctx, pack_vec(lp), pack_vec(lc), feats))
+    pos = unpack_vec(ctx.position)
+    nrm = unpack_vec(ctx.normal)
+    vo = unpack_vec(ctx.view_origin)
+    kd = unpack_vec(ctx.kd)
+    ks = unpack_vec(ctx.ks)
+    sh = unpack_scalar(ctx.shininess)
     for i in range(n):
-        want = oracle_phong(lp[i], lc[i], np.asarray(ctx.view_origin)[i],
-                            np.asarray(ctx.position)[i],
-                            np.asarray(ctx.normal)[i],
-                            np.asarray(ctx.kd)[i], np.asarray(ctx.ks)[i],
-                            float(np.asarray(ctx.shininess)[i]))
+        want = oracle_phong(lp[i], lc[i], vo[i], pos[i], nrm[i], kd[i],
+                            ks[i], float(sh[i]))
         np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=1e-5)
 
 
 def test_phong_light_behind_is_zero():
     feats = Features()
-    ctx = ShadeCtx(
-        valid=jnp.ones((1,), bool),
-        position=jnp.zeros((1, 3)),
-        normal=jnp.asarray([[0.0, 0.0, 1.0]]),
-        view_origin=jnp.asarray([[0.0, 0.0, 2.0]]),
-        kd=jnp.ones((1, 3)), ks=jnp.ones((1, 3)),
-        shininess=jnp.ones((1,)),
-        geom_id=jnp.zeros((1,), jnp.int32), depth_t=jnp.ones((1,)),
-    )
-    out = phong_shade(ctx, jnp.asarray([[0.0, 0.0, -1.0]]), jnp.ones((1, 3)),
-                      feats)
+    ctx = make_ctx(position=[[0, 0, 0]], normal=[[0, 0, 1]],
+                   view_origin=[[0, 0, 2]], kd=[[1, 1, 1]], ks=[[1, 1, 1]],
+                   shininess=[1.0])
+    out = phong_shade(ctx, pack_vec([[0.0, 0.0, -1.0]]),
+                      pack_vec([[1, 1, 1]]), feats)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
 
 
 def test_phong_coincident_light_distance_clamp():
     """Distance < ZERO_EPSILON → treated as 1 (shading.cpp:31-33)."""
     feats = Features()
-    ctx = ShadeCtx(
-        valid=jnp.ones((1,), bool),
-        position=jnp.zeros((1, 3)),
-        normal=jnp.asarray([[0.0, 0.0, 1.0]]),
-        view_origin=jnp.asarray([[0.0, 0.0, 2.0]]),
-        kd=jnp.ones((1, 3)), ks=jnp.zeros((1, 3)),
-        shininess=jnp.ones((1,)),
-        geom_id=jnp.zeros((1,), jnp.int32), depth_t=jnp.ones((1,)),
-    )
-    out = np.asarray(phong_shade(ctx, jnp.zeros((1, 3)), jnp.ones((1, 3)),
-                                 feats))
+    ctx = make_ctx(position=[[0, 0, 0]], normal=[[0, 0, 1]],
+                   view_origin=[[0, 0, 2]], kd=[[1, 1, 1]], ks=[[0, 0, 0]],
+                   shininess=[1.0])
+    out = np.asarray(phong_shade(ctx, pack_vec([[0, 0, 0]]),
+                                 pack_vec([[1, 1, 1]]), feats))
     assert np.all(np.isfinite(out))
 
 
 def test_invalid_pixels_shade_zero():
     rng = np.random.default_rng(1)
-    ctx = _ctx(4, rng).replace(valid=jnp.zeros((4,), bool))
-    out = phong_shade(ctx, jnp.ones((4, 3)), jnp.ones((4, 3)), Features())
+    ctx = _ctx(4, rng)
+    ctx = ctx.replace(valid=jnp.zeros_like(ctx.valid))
+    out = phong_shade(ctx, pack_vec(np.ones((4, 3))),
+                      pack_vec(np.ones((4, 3))), Features())
     np.testing.assert_allclose(np.asarray(out), 0.0)
-    p = target_pdf(ctx, jnp.ones((4, 3)), jnp.ones((4, 3)), Features())
+    p = target_pdf(ctx, pack_vec(np.ones((4, 3))),
+                   pack_vec(np.ones((4, 3))), Features())
     np.testing.assert_allclose(np.asarray(p), 0.0)
 
 
@@ -93,19 +83,35 @@ def test_disable_shading_returns_kd():
     rng = np.random.default_rng(2)
     ctx = _ctx(4, rng)
     feats = Features(enable_shading=False)
-    out = phong_shade(ctx, jnp.ones((4, 3)), jnp.ones((4, 3)), feats)
+    out = phong_shade(ctx, pack_vec(np.ones((4, 3))),
+                      pack_vec(np.ones((4, 3))), feats)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ctx.kd), rtol=1e-6)
 
 
 def test_target_pdf_is_norm():
     rng = np.random.default_rng(3)
     ctx = _ctx(8, rng)
-    lp = jnp.asarray(rng.uniform(-2, 2, (8, 3)).astype(np.float32))
-    lc = jnp.ones((8, 3))
+    lp = pack_vec(rng.uniform(-2, 2, (8, 3)).astype(np.float32))
+    lc = pack_vec(np.ones((8, 3), np.float32))
     feats = Features()
     shade = np.asarray(phong_shade(ctx, lp, lc, feats))
     p = np.asarray(target_pdf(ctx, lp, lc, feats))
-    np.testing.assert_allclose(p, np.linalg.norm(shade, axis=-1), rtol=1e-5)
+    np.testing.assert_allclose(p, np.linalg.norm(shade, axis=0), rtol=1e-5)
+
+
+def test_shading_broadcasts_leading_sample_axes():
+    """Samples [S, 3, H, W] against ctx [3, H, W]."""
+    rng = np.random.default_rng(4)
+    n, s = 6, 4
+    ctx = _ctx(n, rng)
+    lp = rng.uniform(-2, 2, (s, n, 3)).astype(np.float32)
+    lp_packed = jnp.asarray(lp.transpose(0, 2, 1)[:, :, None, :])  # [S,3,1,N]
+    lc = jnp.ones((s, 3, 1, n))
+    out = np.asarray(phong_shade(ctx, lp_packed, lc, Features()))
+    assert out.shape == (s, 3, 1, n)
+    for i in range(s):
+        one = np.asarray(phong_shade(ctx, lp_packed[i], lc[i], Features()))
+        np.testing.assert_allclose(out[i], one, rtol=1e-6)
 
 
 def test_tone_mapping():
