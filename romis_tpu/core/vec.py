@@ -33,7 +33,16 @@ def vdot(a, b):
 
 
 def vcross(a, b):
-    return jnp.cross(a, b, axisa=VEC_AXIS, axisb=VEC_AXIS, axisc=VEC_AXIS)
+    """Component-wise cross product on axis -3. Hand-rolled instead of
+    jnp.cross: the moveaxis/stack lowering of jnp.cross emits transposes of
+    huge [..., 3, H, W] temporaries that the TPU compiler chews on for
+    minutes; slicing the component planes keeps everything image-minor."""
+    ax, ay, az = (jnp.take(a, i, axis=VEC_AXIS) for i in range(3))
+    bx, by, bz = (jnp.take(b, i, axis=VEC_AXIS) for i in range(3))
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx],
+        axis=VEC_AXIS,
+    )
 
 
 def vnorm(a, eps: float = 1e-30):

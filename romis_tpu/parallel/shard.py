@@ -65,7 +65,7 @@ def render_frame_sharded(
     color = final_shade(ctx, res, geometry, features)
     if features.enable_tone_mapping:
         color = exposure_tone_mapping(color, features)
-    image = color.reshape(height, width, 3)
+    image = jnp.moveaxis(color, 0, -1)  # [H, W, 3]
 
     state = TemporalState(reservoirs=res, ctx=ctx, cam=cam,
                           has_prev=jnp.array(True))

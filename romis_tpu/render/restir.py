@@ -124,6 +124,52 @@ def temporal_reuse(
     return combine_biased(key, ctx, inputs, in_mask, features)
 
 
+def spatial_pass(
+    combine_key,
+    ctx: ShadeCtx,
+    reservoirs: Reservoirs,
+    nbr: Reservoirs,  # gathered neighbours, fields [R, K, ..., h, w]
+    nbr_ctx: ShadeCtx,  # gathered neighbour geometry, fields [R, ..., h, w]
+    geometry,
+    features: Features,
+) -> Reservoirs:
+    """One spatial-reuse combine given already-gathered neighbours: apply the
+    depth/normal rejection gates (biased mode, render_utils.cpp:113-118) and
+    combine {neighbours..., self} (render_utils.cpp:121-132). Shared by the
+    single-device gather path and the shard_map halo-exchange path."""
+    hw = ctx.depth_t.shape[-2:]
+    k_n = nbr.m.shape[0]
+
+    if features.unbiased_combination:
+        nbr_mask = jnp.ones((k_n,) + hw, bool)
+    else:
+        depth_ok = (
+            jnp.abs(1.0 - nbr_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20))
+            <= SPATIAL_DEPTH_FRAC
+        )
+        normal_ok = vdot(nbr_ctx.normal, ctx.normal) >= SPATIAL_NORMAL_COS
+        nbr_mask = depth_ok & normal_ok & ctx.valid & nbr_ctx.valid
+
+    # Stream order in the reference is [neighbours..., self]
+    # (render_utils.cpp:121-124); order is immaterial here (order-invariant
+    # selection) but the mask layout mirrors it.
+    inputs = jax.tree.map(
+        lambda nb, s: jnp.concatenate([nb, s[None]], axis=0),
+        nbr, reservoirs,
+    )
+    in_mask = jnp.concatenate([nbr_mask, jnp.ones((1,) + hw, bool)], axis=0)
+
+    if features.unbiased_combination:
+        input_ctxs = jax.tree.map(
+            lambda nc, s: jnp.concatenate([nc, s[None]], axis=0),
+            nbr_ctx, ctx,
+        )
+        return combine_unbiased(
+            combine_key, ctx, inputs, in_mask, input_ctxs, geometry, features
+        )
+    return combine_biased(combine_key, ctx, inputs, in_mask, features)
+
+
 def spatial_reuse(
     key,
     ctx: ShadeCtx,
@@ -151,46 +197,13 @@ def spatial_reuse(
         ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
         nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
 
-        nbr = jax.tree.map(
-            lambda a: gather_image(a, ny, nx), reservoirs
-        )  # [R, K, ..., H, W]
-        nbr_ctx = jax.tree.map(
-            lambda a: gather_image(a, ny, nx), ctx
-        )  # [R, ..., H, W]
+        nbr = jax.tree.map(lambda a: gather_image(a, ny, nx), reservoirs)
+        nbr_ctx = jax.tree.map(lambda a: gather_image(a, ny, nx), ctx)
 
-        if features.unbiased_combination:
-            nbr_mask = jnp.ones((k_n, height, width), bool)
-        else:
-            depth_ok = (
-                jnp.abs(
-                    1.0 - nbr_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20)
-                )
-                <= SPATIAL_DEPTH_FRAC
-            )
-            normal_ok = vdot(nbr_ctx.normal, ctx.normal) >= SPATIAL_NORMAL_COS
-            nbr_mask = depth_ok & normal_ok & ctx.valid & nbr_ctx.valid
-
-        # Stream order in the reference is [neighbours..., self]
-        # (render_utils.cpp:121-124); order is immaterial here (order-invariant
-        # selection) but the mask layout mirrors it.
-        inputs = jax.tree.map(
-            lambda nb, s: jnp.concatenate([nb, s[None]], axis=0),
-            nbr, reservoirs,
+        reservoirs = spatial_pass(
+            jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,
+            geometry, features,
         )
-        in_mask = jnp.concatenate(
-            [nbr_mask, jnp.ones((1, height, width), bool)], axis=0)
-
-        kc = jax.random.fold_in(kp, 1000)
-        if features.unbiased_combination:
-            input_ctxs = jax.tree.map(
-                lambda nc, s: jnp.concatenate([nc, s[None]], axis=0),
-                nbr_ctx, ctx,
-            )
-            reservoirs = combine_unbiased(
-                kc, ctx, inputs, in_mask, input_ctxs, geometry, features
-            )
-        else:
-            reservoirs = combine_biased(kc, ctx, inputs, in_mask, features)
 
     return reservoirs
 

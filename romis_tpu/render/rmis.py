@@ -93,7 +93,11 @@ def render_rmis(
         else:
             mis_w = jnp.full(nb.big_w.shape, equal_w)
 
-        contrib = e(mis_w * nb.big_w) * sample_color / nb.k
+        # ÷ K per reservoir (render.cpp:107: outputSamples.size()). NB:
+        # nb.k would be wrong here — after the neighbourhood gather the
+        # leading axis is D1, not K.
+        k_lanes = nb.pos.shape[1]
+        contrib = e(mis_w * nb.big_w) * sample_color / k_lanes
         return acc + contrib.sum(axis=(0, 1)), None
 
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),

@@ -1,0 +1,154 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: halo exchange,
+sharded frame parity, SPMD training step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from functools import partial
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from romis_tpu.core.camera import make_camera, generate_rays
+from romis_tpu.core.features import Features
+from romis_tpu.parallel.halo import _halo_extend, spatial_reuse_halo
+from romis_tpu.parallel.mesh import TILE_AXIS, make_mesh
+from romis_tpu.parallel.shard import (
+    make_sharded_train_step, render_frame_sharded,
+)
+from romis_tpu.render.restir import (
+    initial_temporal_state, render_restir_frame, spatial_reuse, trace_primary,
+)
+from romis_tpu.ops.wrs import gen_canonical_samples
+from romis_tpu.scene.scene import load_prebuilt
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return make_mesh(N_DEV)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_prebuilt("cornell_box_parallelogram_light")
+
+
+def test_halo_extend_rows(mesh):
+    """The extended band's halo rows must equal the neighbours' edge rows."""
+    h, w, r = 32, 8, 3
+    x = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+
+    @partial(shard_map, mesh=mesh, in_specs=P(TILE_AXIS, None),
+             out_specs=P(TILE_AXIS, None))
+    def ext(xl):
+        return _halo_extend(xl, r, N_DEV)
+
+    out = np.asarray(ext(x))  # [h + n_dev*2r, w] stacked bands
+    h_loc = h // N_DEV
+    x_np = np.asarray(x)
+    for d in range(N_DEV):
+        band = out[d * (h_loc + 2 * r):(d + 1) * (h_loc + 2 * r)]
+        lo = d * h_loc
+        # Core rows.
+        np.testing.assert_array_equal(band[r:r + h_loc], x_np[lo:lo + h_loc])
+        # Halo above.
+        if d > 0:
+            np.testing.assert_array_equal(band[:r], x_np[lo - r:lo])
+        else:
+            np.testing.assert_array_equal(band[:r], 0)
+        # Halo below.
+        if d < N_DEV - 1:
+            np.testing.assert_array_equal(band[r + h_loc:],
+                                          x_np[lo + h_loc:lo + h_loc + r])
+        else:
+            np.testing.assert_array_equal(band[r + h_loc:], 0)
+
+
+@pytest.mark.parametrize("unbiased", [False, True], ids=["biased", "unbiased"])
+def test_spatial_reuse_halo_matches_invariants(mesh, cornell, unbiased):
+    """The halo path must preserve the combine invariants and produce
+    statistics matching the single-device path (same estimator, different
+    RNG stream)."""
+    h, w = 32, 32
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(h, w))
+    feats = Features(initial_light_samples=8, spatial_resample_radius=3,
+                     unbiased_combination=unbiased)
+    rays = generate_rays(cam, h, w)
+    _, ctx = trace_primary(rays, cornell.geometry, feats)
+    res = gen_canonical_samples(jax.random.PRNGKey(0), ctx, cornell.lights,
+                                cornell.num_lights, cornell.geometry, feats)
+
+    with mesh:
+        out_halo = spatial_reuse_halo(jax.random.PRNGKey(1), ctx, res, h, w,
+                                      cornell.geometry, feats, mesh)
+    out_ref = spatial_reuse(jax.random.PRNGKey(1), ctx, res, h, w,
+                            cornell.geometry, feats)
+
+    for name in ("m", "w_sum", "big_w"):
+        a = np.asarray(getattr(out_halo, name))
+        b = np.asarray(getattr(out_ref, name))
+        assert np.isfinite(a).all()
+        # Same estimator → close aggregate statistics.
+        denom = max(abs(b.mean()), 1e-6)
+        assert abs(a.mean() - b.mean()) / denom < 0.25, (
+            name, a.mean(), b.mean())
+    # M accounting is RNG-independent in biased-off mode only per-pixel
+    # masks differ; totals must be in the same ballpark.
+    assert np.asarray(out_halo.total_m()).max() <= np.asarray(
+        res.total_m()).max() * (feats.num_neighbours_to_sample + 1) ** \
+        feats.spatial_resampling_passes + 1
+
+
+def test_sharded_frame_matches_single_device(mesh, cornell):
+    """The GSPMD sharded frame must produce exactly the single-device image
+    (same keys, same math — sharding is layout only)."""
+    h, w = 32, 32
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(h, w))
+    feats = Features(initial_light_samples=4, spatial_resample_radius=2)
+    prev = initial_temporal_state(h, w, feats.num_samples_in_reservoir, cam)
+
+    img_1, _ = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))(
+        jax.random.PRNGKey(3), cam, cornell.geometry, cornell.lights,
+        cornell.num_lights, h, w, feats, prev)
+
+    with mesh:
+        fn = jax.jit(
+            lambda key, cam, prev: render_frame_sharded(
+                key, cam, cornell.geometry, cornell.lights,
+                cornell.num_lights, h, w, feats, prev, mesh))
+        img_n, _ = fn(jax.random.PRNGKey(3), cam, prev)
+
+    np.testing.assert_allclose(np.asarray(img_n), np.asarray(img_1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_moves_params(mesh, cornell):
+    h, w = 16, 32
+    feats = Features(initial_light_samples=4, spatial_resample_radius=2,
+                     temporal_reprojection=True, enable_tone_mapping=False)
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(h, w))
+    from romis_tpu.diff.grad import extract_params
+
+    params = extract_params(cornell.geometry, cornell.lights)
+    prev = initial_temporal_state(h, w, feats.num_samples_in_reservoir, cam)
+    target = jnp.zeros((h, w, 3))
+    with mesh:
+        step = make_sharded_train_step(
+            cornell.geometry, cornell.lights, cornell.num_lights, h, w,
+            feats, mesh)
+        new_params, loss, state = step(params, target, jax.random.PRNGKey(0),
+                                       cam, prev)
+        new_params2, loss2, _ = step(new_params, target,
+                                     jax.random.PRNGKey(1), cam, state)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    moved = sum(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+    assert np.isfinite(moved) and moved > 0
+    assert float(loss2) <= float(loss) * 1.5  # no explosion

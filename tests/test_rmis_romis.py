@@ -1,0 +1,183 @@
+"""R-MIS / R-OMIS estimator tests: determinism, finiteness, statistical
+agreement with ground truth on a homogeneous scene, and neighbour-selection
+invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from romis_tpu.core.camera import make_camera, generate_rays
+from romis_tpu.core.features import (
+    Features, MISWeight, NeighbourSelectionStrategy,
+)
+from romis_tpu.core.vec import e
+from romis_tpu.ops.shading import phong_shade
+from romis_tpu.ops.wrs import visibility
+from romis_tpu.render.neighbours import select_neighbour_indices
+from romis_tpu.render.restir import trace_primary
+from romis_tpu.render.rmis import render_rmis
+from romis_tpu.render.romis import render_romis
+from romis_tpu.scene.lights import sample_lights
+from romis_tpu.scene.scene import load_prebuilt
+
+HW = (20, 20)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_prebuilt("cornell_box_parallelogram_light")
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                       distance=2.5, fov_deg=50, resolution=HW)
+
+
+@pytest.mark.parametrize("feats", [
+    Features(max_iterations_mis=2, spatial_resample_radius=3),
+    Features(max_iterations_mis=2, spatial_resample_radius=3,
+             mis_weight_rmis=MISWeight.BALANCE),
+    Features(max_iterations_mis=2, spatial_resample_radius=3,
+             neighbour_selection_strategy=NeighbourSelectionStrategy.RANDOM),
+    Features(max_iterations_mis=2, spatial_resample_radius=3,
+             neighbour_selection_strategy=(
+                 NeighbourSelectionStrategy.DISSIMILAR)),
+    Features(max_iterations_mis=2, spatial_resample_radius=3,
+             neighbour_selection_strategy=(
+                 NeighbourSelectionStrategy.EQUAL_SIMILAR_DISSIMILAR)),
+], ids=["equal", "balance", "random", "dissimilar", "equal_sim_dis"])
+def test_rmis_finite_deterministic(cornell, cam, feats):
+    h, w = HW
+    fn = jax.jit(render_rmis, static_argnums=(4, 5, 6, 7))
+    img1 = np.asarray(fn(jax.random.PRNGKey(0), cam, cornell.geometry,
+                         cornell.lights, cornell.num_lights, h, w, feats))
+    img2 = np.asarray(fn(jax.random.PRNGKey(0), cam, cornell.geometry,
+                         cornell.lights, cornell.num_lights, h, w, feats))
+    assert np.isfinite(img1).all()
+    np.testing.assert_array_equal(img1, img2)
+    assert img1.max() > 0
+
+
+@pytest.mark.parametrize("feats", [
+    Features(max_iterations_mis=2, spatial_resample_radius=3),
+    Features(max_iterations_mis=3, spatial_resample_radius=3,
+             use_progressive_romis=True),
+], ids=["direct", "progressive"])
+def test_romis_finite_deterministic(cornell, cam, feats):
+    h, w = HW
+    fn = jax.jit(render_romis, static_argnums=(4, 5, 6, 7))
+    img1 = np.asarray(fn(jax.random.PRNGKey(0), cam, cornell.geometry,
+                         cornell.lights, cornell.num_lights, h, w, feats))
+    img2 = np.asarray(fn(jax.random.PRNGKey(0), cam, cornell.geometry,
+                         cornell.lights, cornell.num_lights, h, w, feats))
+    assert np.isfinite(img1).all()
+    np.testing.assert_array_equal(img1, img2)
+    assert img1.max() > 0
+
+
+def _ground_truth(scene, cam, feats, n_samples=8192, seed=7):
+    h, w = HW
+    rays = generate_rays(cam, h, w)
+    _, ctx = trace_primary(rays, scene.geometry, feats)
+    key = jax.random.PRNGKey(seed)
+    total = jnp.zeros((3, h, w))
+    chunk = 64
+    for s in range(0, n_samples, chunk):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, s))
+        idx = jax.random.randint(k1, (chunk, h, w), 0, scene.num_lights)
+        uv = jax.random.uniform(k2, (2, chunk, h, w))
+        pos, color = sample_lights(scene.lights, idx, uv[0], uv[1])
+        f = phong_shade(ctx, pos, color, feats)
+        vis = visibility(ctx.position, pos, scene.geometry)
+        total = total + (jnp.where(e(vis), f, 0.0)
+                         * scene.num_lights).sum(axis=0)
+    return np.moveaxis(np.asarray(total / n_samples), 0, -1)
+
+
+def test_rmis_matches_ground_truth_mean(cornell, cam):
+    """On a homogeneous neighbourhood (similar-strategy gates), equal-weight
+    R-MIS is an MIS average of per-technique RIS estimators; its mean must
+    match brute-force MC."""
+    feats = Features(max_iterations_mis=4, spatial_resample_radius=2,
+                     enable_tone_mapping=False, initial_light_samples=8)
+    truth = _ground_truth(cornell, cam, feats)
+    h, w = HW
+    fn = jax.jit(render_rmis, static_argnums=(4, 5, 6, 7))
+    acc = np.zeros((h, w, 3))
+    n_rep = 40
+    for r in range(n_rep):
+        acc += np.asarray(fn(jax.random.PRNGKey(r), cam, cornell.geometry,
+                             cornell.lights, cornell.num_lights, h, w,
+                             feats))
+    mean_img = acc / n_rep
+    lit = truth.mean(axis=-1) > 0.02
+    assert lit.sum() > 30
+    rel = abs(mean_img[lit].mean() - truth[lit].mean()) / truth[lit].mean()
+    assert rel < 0.12, (mean_img[lit].mean(), truth[lit].mean())
+
+
+def test_romis_direct_reasonable_vs_truth(cornell, cam):
+    """R-OMIS direct solve should land near the MC ground truth on lit
+    pixels (looser tolerance: finite-iteration OMIS is only asymptotically
+    unbiased)."""
+    feats = Features(max_iterations_mis=6, spatial_resample_radius=2,
+                     enable_tone_mapping=False, initial_light_samples=8)
+    truth = _ground_truth(cornell, cam, feats)
+    h, w = HW
+    fn = jax.jit(render_romis, static_argnums=(4, 5, 6, 7))
+    acc = np.zeros((h, w, 3))
+    n_rep = 8
+    for r in range(n_rep):
+        acc += np.asarray(fn(jax.random.PRNGKey(100 + r), cam,
+                             cornell.geometry, cornell.lights,
+                             cornell.num_lights, h, w, feats))
+    mean_img = acc / n_rep
+    lit = truth.mean(axis=-1) > 0.02
+    rel = abs(mean_img[lit].mean() - truth[lit].mean()) / truth[lit].mean()
+    assert rel < 0.25, (mean_img[lit].mean(), truth[lit].mean())
+
+
+def test_neighbour_selection_invariants(cornell, cam):
+    h, w = HW
+    rays = generate_rays(cam, h, w)
+    _, ctx = trace_primary(rays, cornell.geometry, Features())
+    for strat in NeighbourSelectionStrategy:
+        feats = Features(neighbour_selection_strategy=strat,
+                         spatial_resample_radius=3)
+        ny, nx = select_neighbour_indices(jax.random.PRNGKey(0), ctx, h, w,
+                                          feats)
+        ny, nx = np.asarray(ny), np.asarray(nx)
+        d1 = feats.num_neighbours_to_sample + 1
+        assert ny.shape == (d1, h, w)
+        # Self first (neighbour_selection.cpp:38/75).
+        np.testing.assert_array_equal(
+            ny[0], np.broadcast_to(np.arange(h)[:, None], (h, w)))
+        np.testing.assert_array_equal(
+            nx[0], np.broadcast_to(np.arange(w)[None, :], (h, w)))
+        # All coordinates in bounds and within the radius box.
+        assert (ny >= 0).all() and (ny < h).all()
+        assert (nx >= 0).all() and (nx < w).all()
+        rr = np.arange(h)[:, None]
+        cc = np.arange(w)[None, :]
+        assert (np.abs(ny - rr) <= feats.spatial_resample_radius).all()
+        assert (np.abs(nx - cc) <= feats.spatial_resample_radius).all()
+
+
+def test_neighbour_similar_prefers_same_surface(cornell, cam):
+    """With the SIMILAR strategy, chosen neighbours should overwhelmingly
+    pass the similarity gates when enough similar pixels exist."""
+    h, w = HW
+    rays = generate_rays(cam, h, w)
+    feats = Features(spatial_resample_radius=2)
+    _, ctx = trace_primary(rays, cornell.geometry, feats)
+    ny, nx = select_neighbour_indices(jax.random.PRNGKey(1), ctx, h, w,
+                                      feats)
+    ny, nx = np.asarray(ny)[1:], np.asarray(nx)[1:]  # drop self
+    geom = np.asarray(ctx.geom_id)
+    same = geom[ny, nx] == geom[None]
+    valid = np.asarray(ctx.valid)
+    # Restrict to interior pixels on large surfaces.
+    frac_same = same[:, valid].mean()
+    assert frac_same > 0.7, frac_same
