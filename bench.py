@@ -44,19 +44,28 @@ def main():
     prev = initial_temporal_state(h, w, features.num_samples_in_reservoir,
                                   cam)
 
-    fn = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))
+    # The frame returns a scalar checksum: on the tunneled axon backend
+    # block_until_ready does not synchronize, and shipping the full image to
+    # the host would time the tunnel, not the chip. Fetching one float is
+    # the sync.
+    def frame(key, cam, geometry, lights, nl, h, w, feats, prev):
+        img, state = render_restir_frame(key, cam, geometry, lights, nl,
+                                         h, w, feats, prev)
+        return jnp.mean(img), state
+
+    fn = jax.jit(frame, static_argnums=(4, 5, 6, 7))
     args = (cam, scene.geometry, scene.lights, scene.num_lights, h, w,
             features)
 
     # Warmup / compile (also produces the temporal predecessor).
-    img, state = fn(jax.random.PRNGKey(0), *args, prev)
-    jax.block_until_ready(img)
+    m, state = fn(jax.random.PRNGKey(0), *args, prev)
+    float(m)
 
     n_frames = 3 if cpu_smoke else 10
     t0 = time.perf_counter()
     for f in range(n_frames):
-        img, state = fn(jax.random.PRNGKey(f + 1), *args, state)
-    jax.block_until_ready(img)
+        m, state = fn(jax.random.PRNGKey(f + 1), *args, state)
+    float(m)
     dt = time.perf_counter() - t0
 
     k = features.num_samples_in_reservoir

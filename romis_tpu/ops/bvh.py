@@ -213,6 +213,14 @@ def build_bvh(geometry, max_leaf: int = MAX_LEAF):
     return bvh, geometry
 
 
+def with_bvh(geometry, max_leaf: int = MAX_LEAF):
+    """Attach a BVH to a Geometry: builds over the active triangles, permutes
+    them leaf-contiguously, and stores the BVH on geometry.bvh so every
+    ops.intersect entry point dispatches to the wavefront traversal."""
+    bvh, geometry = build_bvh(geometry, max_leaf)
+    return geometry.replace(bvh=bvh)
+
+
 def sah_cost(bvh: BVH) -> float:
     """Total SAH cost (for build-quality tests/diagnostics)."""
     bmin = np.stack([np.asarray(bvh.bmin_x), np.asarray(bvh.bmin_y),

@@ -89,8 +89,13 @@ def intersect_closest(rays: Rays, geometry, t_max=None):
     """Closest hit of each primary ray against the whole soup.
 
     rays: origin/direction [3, H, W]. Returns (t, tri_idx, u, v) each [H, W];
-    t = +inf / tri = -1 on miss. Reference: EmbreeInterface::closestHit
+    t = +inf / tri = -1 on miss. Dispatches to the BVH wavefront traversal
+    when geometry carries one. Reference: EmbreeInterface::closestHit
     (embree_interface.cpp:64-90)."""
+    if geometry.bvh is not None:
+        from .traverse import bvh_closest
+
+        return bvh_closest(rays, geometry, geometry.bvh, t_max)
     h, w = rays.hw
     block = _pick_block(h * w, geometry.num_tris)
     blocks, steps = _tri_blocks(geometry, block)
@@ -127,7 +132,12 @@ def intersect_closest(rays: Rays, geometry, t_max=None):
 def intersect_any(origins, dirs, t_max, geometry) -> jnp.ndarray:
     """Occlusion query: True where some triangle lies at t in (0, t_max).
     origins/dirs [..., 3, H, W], t_max [..., H, W] → occluded [..., H, W].
+    Dispatches to the BVH wavefront traversal when geometry carries one.
     Reference: EmbreeInterface::anyHit (embree_interface.cpp:58-62)."""
+    if geometry.bvh is not None:
+        from .traverse import bvh_any
+
+        return bvh_any(origins, dirs, t_max, geometry, geometry.bvh)
     lead = origins.shape[:-3]
     rays_size = 1
     for s in lead + origins.shape[-2:]:

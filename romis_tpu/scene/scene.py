@@ -22,12 +22,23 @@ from flax import struct
 from .objloader import SubMesh, load_obj
 from .lights import LightListBuilder, LightTable, regular_light_grid
 
-TRI_PAD = 128  # lane alignment for Pallas traversal kernels
+# Triangle-count padding granularity. The brute-force intersector streams
+# triangle blocks over the (H, W) lane grid, so block-size divisibility (8)
+# is all that's needed; padding to 128 would waste up to ~50% ray-triangle
+# tests on small scenes (the nightclub is 83 tris). Pallas kernels that want
+# 128-aligned triangle arrays pad internally.
+TRI_PAD = 8
 
 
 @struct.dataclass
 class Geometry:
-    """Flattened triangle soup + material table + texture stack."""
+    """Flattened triangle soup + material table + texture stack.
+
+    ``bvh`` is an optional acceleration structure (ops/bvh.BVH). When set,
+    ops.intersect dispatches to the stackless wavefront traversal
+    (ops/traverse.py) instead of the brute-force block scan; build it with
+    ``romis_tpu.ops.bvh.with_bvh(geometry)``. None (the default) is the
+    right choice for small scenes (< ~1k triangles)."""
 
     # Triangles [T, ...] (T padded to TRI_PAD)
     v0: jnp.ndarray  # [T, 3] first vertex
@@ -52,6 +63,9 @@ class Geometry:
     # Texture stack [NT, TH, TW, 3] (all textures padded to common size)
     tex_data: jnp.ndarray
     tex_size: jnp.ndarray  # [NT, 2] int32 (height, width)
+
+    # Optional acceleration structure (ops/bvh.BVH pytree or None).
+    bvh: object = None
 
     @property
     def num_tris(self) -> int:

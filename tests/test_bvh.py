@@ -113,3 +113,31 @@ def test_leaf_ranges_cover_all_triangles():
             assert not covered[f:f + c].any(), "overlapping leaves"
             covered[f:f + c] = True
     assert covered.all()
+
+
+def test_full_render_with_bvh_matches_bruteforce():
+    """End-to-end: a ReSTIR frame rendered through the BVH dispatch must
+    match the brute-force render except at triangle-edge tie pixels."""
+    import jax
+    from romis_tpu.core.camera import make_camera
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.bvh import with_bvh
+    from romis_tpu.render.restir import (
+        initial_temporal_state, render_restir_frame,
+    )
+
+    scene = load_prebuilt("cornell_box_parallelogram_light")
+    geo_bvh = with_bvh(scene.geometry)
+    h, w = 24, 24
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(h, w))
+    feats = Features(initial_light_samples=8, spatial_resample_radius=2)
+    prev = initial_temporal_state(h, w, feats.num_samples_in_reservoir, cam)
+    fn = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))
+    img_b, _ = fn(jax.random.PRNGKey(0), cam, scene.geometry, scene.lights,
+                  scene.num_lights, h, w, feats, prev)
+    img_v, _ = fn(jax.random.PRNGKey(0), cam, geo_bvh, scene.lights,
+                  scene.num_lights, h, w, feats, prev)
+    a, b = np.asarray(img_b), np.asarray(img_v)
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.97, close.mean()

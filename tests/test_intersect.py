@@ -135,7 +135,8 @@ def test_prebuilt_scene_counts():
 
 def test_padding_never_hits():
     geometry = load_prebuilt("single_triangle").geometry
-    assert geometry.num_tris % 128 == 0
+    from romis_tpu.scene.scene import TRI_PAD
+    assert geometry.num_tris % TRI_PAD == 0
     rng = np.random.default_rng(3)
     origins = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
     dirs = rng.normal(size=(64, 3)).astype(np.float32)
