@@ -72,6 +72,15 @@ def _lane_layout(s: int, k: int):
     return sk, counts, real
 
 
+def _safe_big_w(w_sum, p_hat, m, cond):
+    """W = wSum / (p_hat * m) under ``cond`` else 0, with the denominator
+    substituted to 1 in the untaken branch: computing 1/max(p_hat,tiny) *
+    1/max(m,tiny) when both are 0 overflows f32 to inf, and the where
+    cotangent then turns 0*inf into NaN gradients."""
+    denom = jnp.where(cond, p_hat * m, 1.0)
+    return jnp.where(cond, w_sum / denom, 0.0)
+
+
 def gen_canonical_samples(
     key: jax.Array,
     ctx: ShadeCtx,
@@ -140,12 +149,7 @@ def gen_canonical_samples(
 
     m = jnp.broadcast_to(
         jnp.asarray(lane_counts)[:, None, None], (k, h, w_img))
-    big_w = jnp.where(
-        sel_p_hat > 0.0,
-        (1.0 / jnp.maximum(sel_p_hat, 1e-37)) * (1.0 / jnp.maximum(m, 1.0))
-        * w_sum,
-        0.0,
-    )
+    big_w = _safe_big_w(w_sum, sel_p_hat, m, sel_p_hat > 0.0)
 
     if features.initial_samples_visibility_check:
         vis = visibility(ctx.position, sel_pos, geometry)
@@ -204,13 +208,8 @@ def combine_biased(
     sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
         key, w, p_hat, inputs, in_mask
     )
-    big_w = jnp.where(
-        (sel_p_hat > 0.0) & (m_out > 0.0),
-        (1.0 / jnp.maximum(sel_p_hat, 1e-37))
-        * (1.0 / jnp.maximum(m_out, 1e-37))
-        * w_sum,
-        0.0,
-    )
+    big_w = _safe_big_w(w_sum, sel_p_hat, m_out,
+                        (sel_p_hat > 0.0) & (m_out > 0.0))
     return Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
                       big_w=big_w, chosen_w=sel_w)
 
@@ -249,12 +248,7 @@ def combine_unbiased(
         axis=0,
     )  # [K, H, W]
 
-    big_w = jnp.where(
-        (sel_p_hat > 0.0) & (z > 0.0),
-        (1.0 / jnp.maximum(sel_p_hat, 1e-37)) * (1.0 / jnp.maximum(z, 1e-37))
-        * w_sum,
-        0.0,
-    )
+    big_w = _safe_big_w(w_sum, sel_p_hat, z, (sel_p_hat > 0.0) & (z > 0.0))
     return Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
                       big_w=big_w, chosen_w=sel_w)
 
