@@ -44,28 +44,30 @@ def main():
     prev = initial_temporal_state(h, w, features.num_samples_in_reservoir,
                                   cam)
 
-    # The frame returns a scalar checksum: on the tunneled axon backend
-    # block_until_ready does not synchronize, and shipping the full image to
-    # the host would time the tunnel, not the chip. Fetching one float is
-    # the sync.
-    def frame(key, cam, geometry, lights, nl, h, w, feats, prev):
-        img, state = render_restir_frame(key, cam, geometry, lights, nl,
-                                         h, w, feats, prev)
-        return jnp.mean(img), state
-
-    fn = jax.jit(frame, static_argnums=(4, 5, 6, 7))
-    args = (cam, scene.geometry, scene.lights, scene.num_lights, h, w,
-            features)
-
-    # Warmup / compile (also produces the temporal predecessor).
-    m, state = fn(jax.random.PRNGKey(0), *args, prev)
-    float(m)
-
+    # All frames run inside ONE jitted lax.scan returning one scalar:
+    # on the tunneled axon backend block_until_ready does not synchronize,
+    # per-dispatch overhead is ~1s, and shipping the image to the host would
+    # time the tunnel, not the chip. Fetching the final float is the sync.
     n_frames = 3 if cpu_smoke else 10
+
+    def frames(key, prev):
+        def body(state, k):
+            img, state = render_restir_frame(
+                k, cam, scene.geometry, scene.lights, scene.num_lights,
+                h, w, features, state)
+            return state, jnp.mean(img)
+        keys = jax.random.split(key, n_frames)
+        state, means = jax.lax.scan(body, prev, keys)
+        return jnp.sum(means)
+
+    fn = jax.jit(frames)
+    # rbg keys: substantially cheaper than threefry on TPU for the
+    # RNG-heavy RIS loop; the pipeline is key-impl agnostic.
+    key = jax.random.key(0, impl="rbg")
+
+    float(fn(key, prev))  # warmup / compile
     t0 = time.perf_counter()
-    for f in range(n_frames):
-        m, state = fn(jax.random.PRNGKey(f + 1), *args, state)
-    float(m)
+    float(fn(jax.random.fold_in(key, 1), prev))
     dt = time.perf_counter() - t0
 
     k = features.num_samples_in_reservoir
