@@ -33,12 +33,17 @@ from .shading import diffuse_albedo
 MT_EPSILON = 1e-9
 
 
-def _pick_block(rays_size: int, num_tris: int, budget: int = 1 << 22) -> int:
+def _pick_block(rays_size: int, num_tris: int, budget: int = 1 << 26) -> int:
     """Triangle block size so the [block, rays...] working set stays ~budget
-    elements (several f32 temps per element)."""
-    block = max(1, budget // max(rays_size, 1))
+    elements (several f32 temps per element, fused by XLA).
+
+    Bigger blocks are strictly better until memory pressure: measured on TPU
+    at 1080p, block=2 (the old tiny budget) made the Mosaic compile take
+    minutes and ran 2x slower than block=24. Minimum block of 8 even when
+    over budget — tiny blocks are pathological."""
+    block = max(8, budget // max(rays_size, 1))
     block = min(block, num_tris)
-    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+    for cand in (256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8, 4, 2, 1):
         if cand <= block and num_tris % cand == 0:
             return cand
     return 1
@@ -154,6 +159,75 @@ def intersect_any(origins, dirs, t_max, geometry) -> jnp.ndarray:
     init = jnp.zeros(lead + origins.shape[-2:], bool)
     occluded, _ = jax.lax.scan(body, init, blocks)
     return occluded
+
+
+@jax.custom_vjp
+def closest_hit_diff(rays: Rays, geometry):
+    """Differentiable closest hit with a re-evaluation backward pass
+    (SURVEY §7.1): the forward runs whichever backend is fastest (Pallas
+    fused kernel on TPU when the soup fits on-chip, threaded BVH, or the XLA
+    block scan); the backward treats the *selection* (tri index) as fixed and
+    re-derives d(t,u,v)/d(rays, vertices) analytically from one
+    Möller–Trumbore evaluation of the selected triangle — no autodiff
+    through the traversal loop."""
+    return _closest_forward(rays, geometry)
+
+
+def _closest_forward(rays: Rays, geometry):
+    if geometry.bvh is None and geometry.use_pallas:
+        from .pallas_trace import fits_pallas, pallas_closest
+
+        if fits_pallas(geometry):
+            return pallas_closest(rays, geometry)
+    return intersect_closest(rays, geometry)
+
+
+def _reeval_tuv(rays: Rays, geometry, tri):
+    """(t, u, v) of the already-selected triangles, differentiable."""
+    from .traverse import _mt_one
+    from ..core.vec import from_table
+
+    idx = jnp.maximum(tri, 0)
+    v0 = from_table(geometry.v0, idx)
+    e1 = from_table(geometry.e1, idx)
+    e2 = from_table(geometry.e2, idx)
+    t, u, v, ok = _mt_one(rays.origin, rays.direction, v0, e1, e2)
+    valid = tri >= 0
+    return (jnp.where(valid, t, jnp.inf), jnp.where(valid, u, 0.0),
+            jnp.where(valid, v, 0.0))
+
+
+def _closest_fwd(rays, geometry):
+    t, tri, u, v = _closest_forward(rays, geometry)
+    return (t, tri, u, v), (rays, geometry, tri)
+
+
+def _closest_bwd(res, cots):
+    rays, geometry, tri = res
+    ct_t, _, ct_u, ct_v = cots
+    ct_t = jnp.where(jnp.isfinite(ct_t), ct_t, 0.0)
+
+    def f(rays, geometry):
+        return _reeval_tuv(rays, geometry, tri)
+
+    _, vjp = jax.vjp(f, rays, geometry)
+    d_rays, d_geo = vjp((ct_t, ct_u, ct_v))
+    return d_rays, d_geo
+
+
+closest_hit_diff.defvjp(_closest_fwd, _closest_bwd)
+
+
+def intersect_any_fast(origins, dirs, t_max, geometry) -> jnp.ndarray:
+    """Occlusion query routed through the fastest backend (boolean output —
+    no gradients by construction, matching the stop-grad visibility
+    semantics)."""
+    if geometry.bvh is None and geometry.use_pallas:
+        from .pallas_trace import fits_pallas, pallas_any
+
+        if fits_pallas(geometry):
+            return pallas_any(origins, dirs, t_max, geometry)
+    return intersect_any(origins, dirs, t_max, geometry)
 
 
 def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:

@@ -1,0 +1,220 @@
+"""Pallas TPU kernels for the ray-tracing hot path.
+
+The XLA brute-force intersector (ops/intersect.py) streams triangle blocks
+through a `lax.scan`, so each step round-trips its running-best carry
+(t/u/v/idx, ~16B/pixel/step) through HBM. These kernels keep the whole
+triangle soup resident on-chip (scalar memory) and the running best in
+registers/VMEM: HBM traffic drops to rays-in + hits-out (~40B/pixel), one
+kernel launch per grid.
+
+Scope: scenes whose triangle SoA fits SMEM (~2k triangles — covers every
+reference scene). Larger scenes use the threaded-BVH traversal
+(ops/traverse.py).
+
+Kernels:
+- closest-hit: full (t, u, v, tri) output for primary rays
+- any-hit: boolean occlusion for shadow-ray batches
+
+Both are wrapped with shape-polymorphic padding so any [..., H, W] ray
+layout works.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# SMEM triangle budget: 9 f32 columns + active mask.
+MAX_SMEM_TRIS = 2048
+
+_BH, _BW = 256, 256  # pixel tile per grid step
+
+
+def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2):
+    """Möller–Trumbore of a ray tile against ONE triangle given as scalar
+    component tuples. Returns (t, u, v, ok) tiles."""
+    v0x, v0y, v0z = v0
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
+    # pvec = d × e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec × e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > 0.0))
+    return t, u, v, ok
+
+
+def _closest_kernel(n_tris: int,
+                    trix_ref, o_ref, d_ref,
+                    t_ref, tri_ref, u_ref, v_ref):
+    """trix_ref: SMEM [10, T] triangle columns (v0, e1, e2 xyz + active).
+    o_ref/d_ref: VMEM [3, BH, BW]. Outputs [BH, BW]."""
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+
+    shape = ox.shape
+    init = (jnp.full(shape, jnp.inf), jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape), jnp.zeros(shape))
+
+    def body(j, carry):
+        best_t, best_i, best_u, best_v = carry
+        v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
+        e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
+        e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
+        active = trix_ref[9, j] > 0.0
+        t, u, v, ok = _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2)
+        ok = ok & (t < best_t) & active
+        return (jnp.where(ok, t, best_t),
+                jnp.where(ok, j, best_i),
+                jnp.where(ok, u, best_u),
+                jnp.where(ok, v, best_v))
+
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+        0, n_tris, body, init)
+    t_ref[...] = best_t
+    tri_ref[...] = best_i
+    u_ref[...] = best_u
+    v_ref[...] = best_v
+
+
+def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    t_max = tmax_ref[...]
+
+    def body(j, occ):
+        v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
+        e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
+        e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
+        active = trix_ref[9, j] > 0.0
+        t, _, _, ok = _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2)
+        return occ | (ok & active & (t < t_max))
+
+    occ = jax.lax.fori_loop(0, n_tris, body,
+                            jnp.zeros(ox.shape, jnp.bool_))
+    occ_ref[...] = occ
+
+
+def _tri_columns(geometry):
+    """[10, T] f32 triangle columns for SMEM residence."""
+    cols = jnp.stack([
+        geometry.v0[:, 0], geometry.v0[:, 1], geometry.v0[:, 2],
+        geometry.e1[:, 0], geometry.e1[:, 1], geometry.e1[:, 2],
+        geometry.e2[:, 0], geometry.e2[:, 1], geometry.e2[:, 2],
+        geometry.active.astype(jnp.float32),
+    ])
+    return cols
+
+
+def _pad_hw(a, bh, bw):
+    h, w = a.shape[-2:]
+    ph = (-h) % bh
+    pw = (-w) % bw
+    if ph == 0 and pw == 0:
+        return a, h, w
+    pad = [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)]
+    return jnp.pad(a, pad), h, w
+
+
+def fits_pallas(geometry) -> bool:
+    return geometry.num_tris <= MAX_SMEM_TRIS
+
+
+def pallas_closest(rays, geometry, interpret: bool = False):
+    """Closest hit with the fused kernel. Same contract as
+    ops.intersect.intersect_closest."""
+    o, h, w = _pad_hw(rays.origin, 8, 128)
+    d, _, _ = _pad_hw(rays.direction, 8, 128)
+    hp, wp = o.shape[-2:]
+    bh, bw = min(_BH, hp), min(_BW, wp)
+    # Tiles must divide padded dims; re-pad to tile multiples.
+    o, _, _ = _pad_hw(o, bh, bw)
+    d, _, _ = _pad_hw(d, bh, bw)
+    hp, wp = o.shape[-2:]
+
+    trix = _tri_columns(geometry)
+    n_tris = geometry.num_tris
+
+    grid = (hp // bh, wp // bw)
+    ray_spec = pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    t, tri, u, v = pl.pallas_call(
+        functools.partial(_closest_kernel, n_tris),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # triangles, whole
+            ray_spec, ray_spec,
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(trix, o, d)
+    return t[:h, :w], tri[:h, :w], u[:h, :w], v[:h, :w]
+
+
+def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
+    """Occlusion query with the fused kernel. Same contract as
+    ops.intersect.intersect_any: leading sample axes are folded into rows."""
+    lead = origins.shape[:-3]
+    h, w = origins.shape[-2:]
+    o = origins.reshape((-1, 3, h, w)) if lead else origins[None]
+    d = jnp.broadcast_to(dirs, origins.shape).reshape(o.shape)
+    tm = t_max.reshape((-1, h, w)) if lead else t_max[None]
+    s = o.shape[0]
+    # Fold the sample axis into rows: [3, S*H, W].
+    o = jnp.moveaxis(o, 0, 1).reshape(3, s * h, w)
+    d = jnp.moveaxis(d, 0, 1).reshape(3, s * h, w)
+    tm = tm.reshape(s * h, w)
+
+    o, hh, ww = _pad_hw(o, 8, 128)
+    d, _, _ = _pad_hw(d, 8, 128)
+    tm, _, _ = _pad_hw(tm, 8, 128)
+    hp, wp = o.shape[-2:]
+    bh, bw = min(_BH, hp), min(_BW, wp)
+    o, _, _ = _pad_hw(o, bh, bw)
+    d, _, _ = _pad_hw(d, bh, bw)
+    tm, _, _ = _pad_hw(tm, bh, bw)
+    hp, wp = o.shape[-2:]
+
+    trix = _tri_columns(geometry)
+    grid = (hp // bh, wp // bw)
+    ray_spec = pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_any_kernel, geometry.num_tris),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), ray_spec, ray_spec,
+                  sc_spec],
+        out_specs=sc_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+        interpret=interpret,
+    )(trix, o, d, tm)
+    occ = occ[:hh, :ww].reshape(s, h, w)
+    return occ.reshape(lead + (h, w)) if lead else occ[0]

@@ -34,7 +34,7 @@ from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 from ..core.vec import e, vnorm
 from ..scene.lights import LightTable, sample_lights
-from .intersect import intersect_any
+from .intersect import intersect_any_fast
 from .shading import target_pdf
 
 SHADOW_RAY_EPSILON = 1e-3  # reference src/utils/utils.h:16
@@ -55,7 +55,7 @@ def visibility(ctx_position, sample_pos, geometry) -> jnp.ndarray:
     d = to / e(jnp.maximum(dist, 1e-20))
     origin = ctx_position + SHADOW_RAY_EPSILON * d
     t_max = vnorm(sample_pos - origin)
-    occluded = intersect_any(origin, d, t_max, geometry)
+    occluded = intersect_any_fast(origin, d, t_max, geometry)
     return (~occluded) | (dist <= SHADOW_RAY_EPSILON)
 
 
@@ -263,7 +263,7 @@ def visibility_from(from_position, sample_pos, geometry) -> jnp.ndarray:
     origin = from_position + SHADOW_RAY_EPSILON * d
     t_max = vnorm(sample_pos - origin)
     origin = jnp.broadcast_to(origin, d.shape)
-    occluded = intersect_any(origin, d, t_max, geometry)
+    occluded = intersect_any_fast(origin, d, t_max, geometry)
     return (~occluded) | (dist <= SHADOW_RAY_EPSILON)
 
 

@@ -18,7 +18,7 @@ from ..core.camera import CameraParams, generate_rays, project_to_pixel
 from ..core.features import Features
 from ..core.types import Rays, Reservoirs, ShadeCtx, empty_reservoirs
 from ..core.vec import e, vdot
-from ..ops.intersect import intersect_closest, make_hit_record, make_shade_ctx
+from ..ops.intersect import closest_hit_diff, make_hit_record, make_shade_ctx
 from ..ops.shading import exposure_tone_mapping, phong_shade
 from ..ops.wrs import (
     clamp_temporal_m,
@@ -62,7 +62,7 @@ def gather_image(a, ny, nx):
 def trace_primary(rays: Rays, geometry, features: Features):
     """Primary hits for the full ray grid (reference genPrimaryRayHits,
     render_utils.cpp:13-34)."""
-    t, tri, u, v = intersect_closest(rays, geometry)
+    t, tri, u, v = closest_hit_diff(rays, geometry)
     hits = make_hit_record(rays, geometry, t, tri, u, v)
     ctx = make_shade_ctx(rays, hits, geometry, features)
     return hits, ctx

@@ -67,6 +67,12 @@ class Geometry:
     # Optional acceleration structure (ops/bvh.BVH pytree or None).
     bvh: object = None
 
+    # Backend choice for the brute-force path (static, not a pytree leaf):
+    # route intersections through the fused Pallas kernels when True and the
+    # soup fits on-chip (ops/pallas_trace.py). Enable with
+    # geometry.replace(use_pallas=True) on TPU.
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
+
     @property
     def num_tris(self) -> int:
         return self.v0.shape[0]
