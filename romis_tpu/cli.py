@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--platform", help="force a JAX platform (e.g. cpu)")
     p.add_argument("--save-alphas", action="store_true",
                    help="R-OMIS: save per-technique alpha visualisations")
+    p.add_argument("--debug-vis", action="store_true",
+                   help="save diagnostic images (hit mask, depth, normals, "
+                        "shadow visibility, reservoir stats)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -94,6 +97,16 @@ def main(argv=None):
         )
         t0 = time.perf_counter()
         cam_key = jax.random.fold_in(key, i)
+        if args.debug_vis:
+            import os as _os
+
+            from .utils.debug_vis import debug_images, save_debug_images
+
+            _os.makedirs(cfg.output_dir, exist_ok=True)
+            paths = save_debug_images(
+                f"{cfg.output_dir}/{scene.name}_{stamp}_cam_{i}_debug",
+                debug_images(cam_key, cam, scene, h, w, cfg.features))
+            print(f"debug images: {len(paths)} saved", file=sys.stderr)
         state = None
         img = None
         if (cfg.features.ray_trace_mode == RayTraceMode.ROMIS
