@@ -61,9 +61,8 @@ def main():
         return jnp.sum(means)
 
     fn = jax.jit(frames)
-    # rbg keys: substantially cheaper than threefry on TPU for the
-    # RNG-heavy RIS loop; the pipeline is key-impl agnostic.
-    key = jax.random.key(0, impl="rbg")
+    # NB: impl="rbg" keys reproducibly crash the axon TPU worker — threefry.
+    key = jax.random.PRNGKey(0)
 
     float(fn(key, prev))  # warmup / compile
     t0 = time.perf_counter()
