@@ -52,6 +52,61 @@ def _gather_local(a, iy, ix):
     return jnp.moveaxis(g, -3, 0)
 
 
+def render_frame_halo(
+    key,
+    cam,
+    geometry,
+    lights,
+    num_lights: int,
+    height: int,
+    width: int,
+    features: Features,
+    prev,
+    mesh,
+):
+    """Full ReSTIR frame with the explicit halo-exchange spatial reuse: all
+    per-pixel phases run under GSPMD row sharding (parallel/shard.py) and the
+    spatial passes run as shard_map with ppermute halos. Returns
+    (image [H, W, 3], TemporalState)."""
+    import jax.numpy as jnp
+
+    from ..core.camera import generate_rays
+    from ..ops.shading import exposure_tone_mapping
+    from ..ops.wrs import gen_canonical_samples
+    from ..render.restir import (
+        PH_CANDIDATES, PH_SPATIAL, PH_TEMPORAL, TemporalState, final_shade,
+        temporal_reuse, trace_primary,
+    )
+    from .mesh import shard_pixels
+
+    rays = shard_pixels(generate_rays(cam, height, width), mesh)
+    _, ctx = trace_primary(rays, geometry, features)
+    ctx = shard_pixels(ctx, mesh)
+
+    res = gen_canonical_samples(
+        jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, num_lights,
+        geometry, features)
+    res = shard_pixels(res, mesh)
+
+    if features.temporal_reuse:
+        res = temporal_reuse(jax.random.fold_in(key, PH_TEMPORAL), ctx, res,
+                             prev, height, width, features)
+        res = shard_pixels(res, mesh)
+
+    if features.spatial_reuse:
+        res = spatial_reuse_halo(jax.random.fold_in(key, PH_SPATIAL), ctx,
+                                 res, height, width, geometry, features,
+                                 mesh)
+
+    color = final_shade(ctx, res, geometry, features)
+    if features.enable_tone_mapping:
+        color = exposure_tone_mapping(color, features)
+    image = jnp.moveaxis(color, 0, -1)
+    state = TemporalState(reservoirs=res, ctx=ctx, cam=cam,
+                          has_prev=jnp.array(True))
+    return image, state
+
+
 def spatial_reuse_halo(
     key,
     ctx: ShadeCtx,

@@ -152,3 +152,30 @@ def test_sharded_train_step_moves_params(mesh, cornell):
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
     assert np.isfinite(moved) and moved > 0
     assert float(loss2) <= float(loss) * 1.5  # no explosion
+
+
+def test_render_frame_halo_end_to_end(mesh, cornell):
+    """Full frame with halo-exchange spatial reuse: finite, deterministic,
+    statistically consistent with the single-device frame."""
+    h, w = 32, 32
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(h, w))
+    feats = Features(initial_light_samples=8, spatial_resample_radius=3)
+    prev = initial_temporal_state(h, w, feats.num_samples_in_reservoir, cam)
+    from romis_tpu.parallel.halo import render_frame_halo
+
+    with mesh:
+        fn = jax.jit(lambda key, cam, prev: render_frame_halo(
+            key, cam, cornell.geometry, cornell.lights, cornell.num_lights,
+            h, w, feats, prev, mesh))
+        img1, state = fn(jax.random.PRNGKey(0), cam, prev)
+        img1b, _ = fn(jax.random.PRNGKey(0), cam, prev)
+        img2, _ = fn(jax.random.PRNGKey(1), cam, state)
+    a = np.asarray(img1)
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, np.asarray(img1b))
+    ref, _ = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))(
+        jax.random.PRNGKey(0), cam, cornell.geometry, cornell.lights,
+        cornell.num_lights, h, w, feats, prev)
+    r = np.asarray(ref)
+    assert abs(a.mean() - r.mean()) / max(r.mean(), 1e-6) < 0.15
