@@ -115,12 +115,14 @@ def gen_canonical_samples(
     def step(carry, inp):
         w_sum, best_score, sel_pos, sel_color, sel_w, sel_p_hat = carry
         slot_key, real = inp  # real: [K]
-        k1, k2, k3 = jax.random.split(slot_key, 3)
-        idx = jax.random.randint(k1, (k, h, w_img), 0, num_lights)
-        uv = jax.random.uniform(k2, (2, k, h, w_img))
-        g = jax.random.gumbel(k3, (k, h, w_img))
+        # One threefry invocation per slot covers light pick, (u, v) and the
+        # Gumbel race — 4x fewer RNG kernels than separate draws.
+        u4 = jax.random.uniform(slot_key, (4, k, h, w_img))
+        idx = jnp.minimum((u4[0] * num_lights).astype(jnp.int32),
+                          num_lights - 1)
+        g = -jnp.log(-jnp.log(jnp.maximum(u4[3], 1e-37)) + 1e-37)
 
-        pos, color = sample_lights(lights, idx, uv[0], uv[1])  # [K, 3, H, W]
+        pos, color = sample_lights(lights, idx, u4[1], u4[2])  # [K, 3, H, W]
         p_hat = target_pdf(ctx, pos, color, features)  # [K, H, W]
         w = p_hat * float(num_lights) * real[:, None, None].astype(jnp.float32)
 
