@@ -34,13 +34,43 @@ def main():
     )
     import __graft_entry__ as ge
 
-    scene = ge._flagship_scene()
+    # BENCH_CONFIG selects a BASELINE.md workload (default 5 = nightclub
+    # 1080p full spatiotemporal ReSTIR).
+    config = int(os.environ.get("BENCH_CONFIG", "5"))
+    from romis_tpu.scene.scene import default_data_dir, load_prebuilt
+
+    if config == 5 or default_data_dir() is None:
+        scene = ge._flagship_scene()
+        h, w = 1080, 1920
+        features = Features()  # reference defaults: full spatiotemporal
+        cam = ge._flagship_camera(h, w)
+    else:
+        from romis_tpu.core.camera import make_camera
+
+        name, (h, w), features, cam_kw = {
+            1: ("single_triangle", (256, 256),
+                Features(spatial_reuse=False, temporal_reuse=False),
+                dict(look_at=(0, 0.33, 0.33), rotation_deg=(0, 90, 0),
+                     distance=3.0, fov_deg=50)),
+            2: ("cube", (512, 512),
+                Features(spatial_reuse=False, temporal_reuse=False,
+                         initial_samples_visibility_check=True),
+                dict(look_at=(0, 0, 0), rotation_deg=(15, 30, 0),
+                     distance=3.0, fov_deg=50)),
+            3: ("cornell_box_parallelogram_light", (512, 512),
+                Features(temporal_reuse=False),
+                dict(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                     distance=2.5, fov_deg=50)),
+            4: ("cornell_box_parallelogram_light", (1080, 1920),
+                Features(temporal_reprojection=True),
+                dict(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                     distance=2.5, fov_deg=50)),
+        }[config]
+        scene = load_prebuilt(name)
+        cam = make_camera(resolution=(h, w), **cam_kw)
     if cpu_smoke:
         h, w = 90, 160
-    else:
-        h, w = 1080, 1920
-    features = Features()  # reference defaults: full spatiotemporal ReSTIR
-    cam = ge._flagship_camera(h, w)
+        cam = ge._flagship_camera(h, w)
     prev = initial_temporal_state(h, w, features.num_samples_in_reservoir,
                                   cam)
 
