@@ -58,16 +58,23 @@ def extract_params(geometry, lights) -> SceneParams:
 
 
 def apply_params(geometry, lights, params: SceneParams):
-    geometry = geometry.replace(
+    from ..scene.scene import repack_rows
+
+    geometry = repack_rows(geometry.replace(
         mat_kd=params.mat_kd, mat_ks=params.mat_ks,
         mat_shininess=params.mat_shininess,
         v0=params.tri_v0, e1=params.tri_e1, e2=params.tri_e2,
-    )
+    ))
     lights = lights.replace(
         c0=params.light_c0, c1=params.light_c1, c2=params.light_c2,
         c3=params.light_c3, v0=params.light_v0, edge01=params.light_e01,
         edge02=params.light_e02,
     )
+    from ..scene.lights import _pack_rows_jnp
+
+    lights = lights.replace(rows=_pack_rows_jnp(
+        lights.v0, lights.edge01, lights.edge02, lights.c0, lights.c1,
+        lights.c2, lights.c3))
     return geometry, lights
 
 

@@ -202,6 +202,9 @@ def build_bvh(geometry, max_leaf: int = MAX_LEAF):
         **{f: jnp.asarray(np.asarray(getattr(geometry, f))[perm])
            for f in ("v0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1",
                      "uv2", "mat_id", "geom_id", "active")})
+    from ..scene.scene import repack_rows
+
+    geometry = repack_rows(geometry)  # keep packed row tables in sync
 
     bvh = BVH(
         bmin_x=jnp.asarray(bmin[:, 0]), bmin_y=jnp.asarray(bmin[:, 1]),

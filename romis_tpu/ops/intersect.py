@@ -232,49 +232,64 @@ def intersect_any_fast(origins, dirs, t_max, geometry) -> jnp.ndarray:
 
 def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:
     """Gather interpolated hit attributes (reference rtcInterpolate0 calls,
-    embree_interface.cpp:76-81). Shading normals are normalized (deviation
+    embree_interface.cpp:76-81) with ONE packed attr-row gather per pixel
+    (scene.pack_attr_rows layout). Shading normals are normalized (deviation
     from the reference's raw interpolation — documented in ops/shading.py)."""
-    from ..core.vec import from_table
-
     valid = jnp.isfinite(t)
     idx = jnp.maximum(tri, 0)  # [H, W]
+    rows = geometry.attr_rows[idx]  # [H, W, 24]
+
+    def vec3(i):
+        return jnp.moveaxis(rows[..., i:i + 3], -1, -3)
+
+    def vec2(i):
+        return jnp.moveaxis(rows[..., i:i + 2], -1, -3)
+
     bw = e(1.0 - u - v)  # [1, H, W]
     bu = e(u)
     bv = e(v)
-    normal = (bw * from_table(geometry.n0, idx)
-              + bu * from_table(geometry.n1, idx)
-              + bv * from_table(geometry.n2, idx))
+    normal = bw * vec3(0) + bu * vec3(3) + bv * vec3(6)
     normal = normal / jnp.maximum(e(vnorm(normal)), 1e-20)
-    uv = (bw * from_table(geometry.uv0, idx)
-          + bu * from_table(geometry.uv1, idx)
-          + bv * from_table(geometry.uv2, idx))
+    uv = bw * vec2(9) + bu * vec2(11) + bv * vec2(13)
+    mat_id = rows[..., 15].astype(jnp.int32)
+    geom_id = rows[..., 16].astype(jnp.int32)
     return HitRecord(
         valid=valid,
         t=t,
         normal=jnp.where(e(valid), normal, 0.0),
         uv=jnp.where(e(valid), uv, 0.0),
-        mat_id=jnp.where(valid, geometry.mat_id[idx], 0),
-        geom_id=jnp.where(valid, geometry.geom_id[idx], -1),
+        mat_id=jnp.where(valid, mat_id, 0),
+        geom_id=jnp.where(valid, geom_id, -1),
         prim_id=jnp.where(valid, tri, -1),
     )
 
 
 def make_shade_ctx(rays: Rays, hits: HitRecord, geometry,
                    features: Features) -> ShadeCtx:
-    """Bundle everything the target PDF / shading needs about the receiver."""
+    """Bundle everything the target PDF / shading needs about the receiver.
+    One packed mat-row gather (scene.pack_mat_rows layout) + optional
+    texture overlay."""
+    from .shading import acquire_texel
+
     safe_t = jnp.where(hits.valid, hits.t, 0.0)
     position = rays.origin + e(safe_t) * rays.direction
-    kd = diffuse_albedo(geometry, hits.mat_id, hits.uv, features)
-    from ..core.vec import from_table
-
+    rows = geometry.mat_rows[hits.mat_id]  # [H, W, 8]
+    kd = jnp.moveaxis(rows[..., 0:3], -1, -3)
+    ks = jnp.moveaxis(rows[..., 3:6], -1, -3)
+    shininess = rows[..., 6]
+    tex_id = rows[..., 7].astype(jnp.int32)
+    if features.enable_texture_mapping and geometry.tex_data.shape[1] > 1:
+        texel = acquire_texel(geometry.tex_data, geometry.tex_size,
+                              tex_id, hits.uv)
+        kd = jnp.where(e(tex_id >= 0), texel, kd)
     return ShadeCtx(
         valid=hits.valid,
         position=position,
         normal=hits.normal,
         view_origin=rays.origin,
         kd=kd,
-        ks=from_table(geometry.mat_ks, hits.mat_id),
-        shininess=geometry.mat_shininess[hits.mat_id],
+        ks=ks,
+        shininess=shininess,
         geom_id=hits.geom_id,
         depth_t=safe_t,
     )

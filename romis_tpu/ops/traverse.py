@@ -68,11 +68,14 @@ def _mt_one(o, d, v0, e1, e2):
 
 
 def _gather_tri(geometry, idx):
-    """Per-component gathers of MT triangle data at [..., H, W] indices."""
-    from ..core.vec import from_table
+    """One packed row-gather of MT triangle data at [..., H, W] indices
+    (scene.pack_tri_rows layout)."""
+    rows = geometry.tri_rows[idx]  # [..., H, W, 12]
 
-    return (from_table(geometry.v0, idx), from_table(geometry.e1, idx),
-            from_table(geometry.e2, idx))
+    def vec3(i):
+        return jnp.moveaxis(rows[..., i:i + 3], -1, -3)
+
+    return vec3(0), vec3(3), vec3(6)
 
 
 def bvh_closest(rays: Rays, geometry, bvh: BVH, t_max=None):

@@ -59,6 +59,61 @@ def gather_image(a, ny, nx):
     return jnp.moveaxis(g, -3, 0)
 
 
+def pack_pixel_rows(res: Reservoirs, ctx: ShadeCtx) -> jnp.ndarray:
+    """Pack per-pixel reservoir + shading-context state into one [H, W, C]
+    row table for neighbour gathers. TPU gathers cost per *index* (a full
+    128-lane row is fetched either way), so one packed-row gather replaces
+    the ~19 per-field gathers of the naive pytree gather — measured ~20x
+    cheaper at 1080p (see scene/lights.py rows note)."""
+    parts = []
+
+    def add(a):
+        lead = a.shape[:-2]
+        n = 1
+        for s in lead:
+            n *= s
+        parts.append(jnp.moveaxis(a.reshape((n,) + a.shape[-2:]), 0, -1))
+
+    for f in (res.pos, res.color, res.w_sum, res.m, res.big_w, res.chosen_w):
+        add(f)
+    for f in (ctx.position, ctx.normal, ctx.view_origin, ctx.kd, ctx.ks):
+        add(f)
+    add(ctx.shininess[None])
+    add(ctx.depth_t[None])
+    add(ctx.geom_id.astype(jnp.float32)[None])
+    add(ctx.valid.astype(jnp.float32)[None])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_pixel_rows(rows: jnp.ndarray, k: int):
+    """Inverse of pack_pixel_rows for gathered rows [R, H, W, C] →
+    (Reservoirs [R, K, ..., H, W], ShadeCtx [R, ..., H, W])."""
+    lead = rows.shape[:-3]
+    hw = rows.shape[-3:-1]
+    pos = [0]
+
+    def take(n, shape):
+        a = rows[..., pos[0]:pos[0] + n]
+        pos[0] += n
+        a = jnp.moveaxis(a, -1, len(lead))  # [R, n, H, W]
+        return a.reshape(lead + shape + hw)
+
+    res = Reservoirs(
+        pos=take(3 * k, (k, 3)), color=take(3 * k, (k, 3)),
+        w_sum=take(k, (k,)), m=take(k, (k,)), big_w=take(k, (k,)),
+        chosen_w=take(k, (k,)),
+    )
+    ctx = ShadeCtx(
+        valid=jnp.zeros(()),  # placeholder, set below (field order)
+        position=take(3, (3,)), normal=take(3, (3,)),
+        view_origin=take(3, (3,)), kd=take(3, (3,)), ks=take(3, (3,)),
+        shininess=take(1, ()), depth_t=take(1, ()),
+        geom_id=take(1, ()).astype(jnp.int32),
+    )
+    ctx = ctx.replace(valid=take(1, ()) > 0.5)
+    return res, ctx
+
+
 def trace_primary(rays: Rays, geometry, features: Features):
     """Primary hits for the full ray grid (reference genPrimaryRayHits,
     render_utils.cpp:13-34)."""
@@ -197,8 +252,9 @@ def spatial_reuse(
         ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
         nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
 
-        nbr = jax.tree.map(lambda a: gather_image(a, ny, nx), reservoirs)
-        nbr_ctx = jax.tree.map(lambda a: gather_image(a, ny, nx), ctx)
+        packed = pack_pixel_rows(reservoirs, ctx)  # [H, W, C]
+        nbr, nbr_ctx = unpack_pixel_rows(
+            packed[ny, nx], features.num_samples_in_reservoir)
 
         reservoirs = spatial_pass(
             jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,

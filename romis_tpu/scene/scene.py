@@ -64,6 +64,15 @@ class Geometry:
     tex_data: jnp.ndarray
     tex_size: jnp.ndarray  # [NT, 2] int32 (height, width)
 
+    # Packed row tables — ONE row-gather per index instead of 20+ scalar
+    # component gathers (measured ~57x faster on TPU; see scene/lights.py):
+    # tri_rows  [T, 12]: v0(3) e1(3) e2(3) active pad(2)   (traversal leaves)
+    # attr_rows [T, 24]: n0 n1 n2 (9) uv0 uv1 uv2 (6) mat_id geom_id pad(7)
+    # mat_rows  [M, 8]:  kd(3) ks(3) shininess tex_id      (shading context)
+    tri_rows: jnp.ndarray
+    attr_rows: jnp.ndarray
+    mat_rows: jnp.ndarray
+
     # Optional acceleration structure (ops/bvh.BVH pytree or None).
     bvh: object = None
 
@@ -168,7 +177,7 @@ def build_geometry(submeshes: list[SubMesh]) -> Geometry:
     if n_tris:
         gids[:n_tris] = [r[10] for r in tri_rows]
 
-    return Geometry(
+    g = Geometry(
         v0=jnp.asarray(col(0, 3)), e1=jnp.asarray(col(1, 3)),
         e2=jnp.asarray(col(2, 3)), n0=jnp.asarray(col(3, 3)),
         n1=jnp.asarray(col(4, 3)), n2=jnp.asarray(col(5, 3)),
@@ -179,6 +188,43 @@ def build_geometry(submeshes: list[SubMesh]) -> Geometry:
         mat_kd=jnp.asarray(mat_kd), mat_ks=jnp.asarray(mat_ks),
         mat_shininess=jnp.asarray(mat_sh), mat_tex_id=jnp.asarray(mat_tx),
         tex_data=jnp.asarray(tex), tex_size=jnp.asarray(sizes),
+        tri_rows=jnp.zeros(()), attr_rows=jnp.zeros(()),
+        mat_rows=jnp.zeros(()),
+    )
+    return repack_rows(g)
+
+
+def pack_tri_rows(v0, e1, e2, active):
+    n = v0.shape[0]
+    return jnp.concatenate(
+        [v0, e1, e2, active.astype(jnp.float32)[:, None],
+         jnp.zeros((n, 2), jnp.float32)], axis=1)
+
+
+def pack_attr_rows(n0, n1, n2, uv0, uv1, uv2, mat_id, geom_id):
+    n = n0.shape[0]
+    return jnp.concatenate(
+        [n0, n1, n2, uv0, uv1, uv2,
+         mat_id.astype(jnp.float32)[:, None],
+         geom_id.astype(jnp.float32)[:, None],
+         jnp.zeros((n, 7), jnp.float32)], axis=1)
+
+
+def pack_mat_rows(mat_kd, mat_ks, mat_shininess, mat_tex_id):
+    return jnp.concatenate(
+        [mat_kd, mat_ks, mat_shininess[:, None],
+         mat_tex_id.astype(jnp.float32)[:, None]], axis=1)
+
+
+def repack_rows(g: Geometry) -> Geometry:
+    """(Re)build the packed row tables from the component columns. Must be
+    called after replacing any packed column (diff/grad.apply_params does)."""
+    return g.replace(
+        tri_rows=pack_tri_rows(g.v0, g.e1, g.e2, g.active),
+        attr_rows=pack_attr_rows(g.n0, g.n1, g.n2, g.uv0, g.uv1, g.uv2,
+                                 g.mat_id, g.geom_id),
+        mat_rows=pack_mat_rows(g.mat_kd, g.mat_ks, g.mat_shininess,
+                               g.mat_tex_id),
     )
 
 

@@ -88,5 +88,59 @@ def main():
     timed("uniform + target_pdf [K,H,W]", rep(phong_body))
 
 
+def gather_variants():
+    """Compare gather strategies for the light-table fetch."""
+    h, w, k, L = 1080, 1920, 2, 512
+    reps = 16
+    table24 = jnp.arange(L * 24, dtype=jnp.float32).reshape(L, 24)
+
+    def rep24(body):
+        def run(key):
+            def f(i, acc):
+                return acc + body(jax.random.fold_in(key, i))
+            return jnp.sum(jax.lax.fori_loop(0, reps, f,
+                                             jnp.zeros((k, h, w))))
+        return run
+
+    # A) 21 scalar-component gathers (current sample_lights cost model)
+    def comp_gather(kk):
+        idx = jax.random.randint(kk, (k, h, w), 0, L)
+        out = jnp.zeros((k, h, w))
+        for c in range(21):
+            out = out + table24[:, c][idx]
+        return out
+    timed("A: 21 scalar gathers", rep24(comp_gather))
+
+    # B) one row-gather of 24 floats per index
+    def row_gather(kk):
+        idx = jax.random.randint(kk, (k, h, w), 0, L)
+        rows = table24[idx]  # [k, h, w, 24]
+        return rows.sum(-1)
+    timed("B: 1 row(24) gather", rep24(row_gather))
+
+    # C) block-coherent indices: one light per 8x8 pixel block
+    def block_gather(kk):
+        idx = jax.random.randint(kk, (k, h // 8, w // 8), 0, L)
+        out = jnp.zeros((k, h // 8, w // 8))
+        for c in range(21):
+            out = out + table24[:, c][idx]
+        out = jnp.repeat(jnp.repeat(out, 8, axis=-2), 8, axis=-1)
+        return out
+    timed("C: 21 gathers @ 8x8 blocks", rep24(block_gather))
+
+    # D) one-hot matmul over pixel chunks
+    def onehot(kk):
+        idx = jax.random.randint(kk, (k, h, w), 0, L)
+        flat = idx.reshape(-1, w)  # [k*h, w] -> treat rows as batch
+        oh = jax.nn.one_hot(flat, L, dtype=jnp.bfloat16)  # [k*h, w, L]
+        rows = jnp.einsum("bwl,lc->bwc", oh,
+                          table24.astype(jnp.bfloat16))
+        return rows.sum(-1).reshape(k, h, w).astype(jnp.float32)
+    timed("D: one-hot matmul", rep24(onehot))
+
+
 if __name__ == "__main__":
-    main()
+    if "--gathers" in sys.argv:
+        gather_variants()
+    else:
+        main()

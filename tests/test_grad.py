@@ -105,9 +105,10 @@ def test_kd_grad_matches_finite_difference(cornell):
     assert abs(fd - ad) <= 5e-2 * max(abs(fd), abs(ad), 1e-3), (fd, ad)
 
 
-def test_light_position_grad_direction(cornell):
-    """Pushing the area light toward the scene must increase image energy —
-    the v0 gradient of total intensity should say so."""
+def test_light_position_grad_matches_finite_difference(cornell):
+    """Light placement gradients (v0) vs central differences of the energy.
+    (The *sign* of d(energy)/dy is not physically determined here — pixels
+    adjacent to the light dominate via 1/d² — so compare against FD.)"""
     feats = Features(spatial_reuse=False, temporal_reuse=False,
                      enable_tone_mapping=False, initial_light_samples=8)
     params, args = _setup(cornell, feats)
@@ -118,9 +119,14 @@ def test_light_position_grad_direction(cornell):
 
     g = jax.grad(energy)(params)
     gy = float(np.asarray(g.light_v0)[0, 1])
-    # The light sits at the ceiling (y=0.5) above the floor: moving it DOWN
-    # (toward the lit surfaces) increases energy → d(energy)/dy < 0.
-    assert gy < 0, gy
+    eps = 1e-4
+    base = np.asarray(params.light_v0)
+    d = np.zeros_like(base)
+    d[0, 1] = eps
+    fd = (float(energy(params.replace(light_v0=jnp.asarray(base + d))))
+          - float(energy(params.replace(light_v0=jnp.asarray(base - d))))) \
+        / (2 * eps)
+    assert abs(fd - gy) <= 5e-2 * max(abs(fd), abs(gy), 1e-3), (fd, gy)
 
 
 def test_vertex_grad_finite_difference_on_energy(cornell):
