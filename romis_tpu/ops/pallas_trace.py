@@ -100,17 +100,19 @@ def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     t_max = tmax_ref[...]
 
+    # Mosaic cannot legalize a bool loop carry (scf.for) — carry f32 0/1.
     def body(j, occ):
         v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
         e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
         e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
         active = trix_ref[9, j] > 0.0
         t, _, _, ok = _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2)
-        return occ | (ok & active & (t < t_max))
+        hit = ok & active & (t < t_max)
+        return jnp.maximum(occ, hit.astype(jnp.float32))
 
     occ = jax.lax.fori_loop(0, n_tris, body,
-                            jnp.zeros(ox.shape, jnp.bool_))
-    occ_ref[...] = occ
+                            jnp.zeros(ox.shape, jnp.float32))
+    occ_ref[...] = occ > 0.5
 
 
 def _tri_columns(geometry):
@@ -135,7 +137,10 @@ def _pad_hw(a, bh, bw):
 
 
 def fits_pallas(geometry) -> bool:
-    return geometry.num_tris <= MAX_SMEM_TRIS
+    """Kernel dispatch guard: soup fits on-chip AND we are actually compiling
+    for TPU (the kernels have no CPU lowering outside interpret mode)."""
+    return (geometry.num_tris <= MAX_SMEM_TRIS
+            and jax.default_backend() == "tpu")
 
 
 def pallas_closest(rays, geometry, interpret: bool = False):
@@ -179,17 +184,16 @@ def pallas_closest(rays, geometry, interpret: bool = False):
 
 def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
     """Occlusion query with the fused kernel. Same contract as
-    ops.intersect.intersect_any: leading sample axes are folded into rows."""
+    ops.intersect.intersect_any: leading sample axes become extra grid
+    dimensions (no reshapes of the big ray tensors — a fold-into-rows
+    wrapper emitted a 99MB MLIR program that crashed the TPU compiler)."""
     lead = origins.shape[:-3]
     h, w = origins.shape[-2:]
-    o = origins.reshape((-1, 3, h, w)) if lead else origins[None]
-    d = jnp.broadcast_to(dirs, origins.shape).reshape(o.shape)
-    tm = t_max.reshape((-1, h, w)) if lead else t_max[None]
+    d_full = jnp.broadcast_to(dirs, origins.shape)
+    o = origins.reshape((-1, 3, h, w))
+    d = d_full.reshape((-1, 3, h, w))
+    tm = t_max.reshape((-1, h, w))
     s = o.shape[0]
-    # Fold the sample axis into rows: [3, S*H, W].
-    o = jnp.moveaxis(o, 0, 1).reshape(3, s * h, w)
-    d = jnp.moveaxis(d, 0, 1).reshape(3, s * h, w)
-    tm = tm.reshape(s * h, w)
 
     o, hh, ww = _pad_hw(o, 8, 128)
     d, _, _ = _pad_hw(d, 8, 128)
@@ -202,19 +206,24 @@ def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
     hp, wp = o.shape[-2:]
 
     trix = _tri_columns(geometry)
-    grid = (hp // bh, wp // bw)
-    ray_spec = pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+    grid = (s, hp // bh, wp // bw)
+    ray_spec = pl.BlockSpec((1, 3, bh, bw), lambda si, i, j: (si, 0, i, j),
                             memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+    sc_spec = pl.BlockSpec((1, bh, bw), lambda si, i, j: (si, i, j),
                            memory_space=pltpu.VMEM)
+
+    def kernel(trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
+        _any_kernel(geometry.num_tris, trix_ref, o_ref.at[0], d_ref.at[0],
+                    tmax_ref.at[0], occ_ref.at[0])
+
     occ = pl.pallas_call(
-        functools.partial(_any_kernel, geometry.num_tris),
+        kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), ray_spec, ray_spec,
                   sc_spec],
         out_specs=sc_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.bool_),
         interpret=interpret,
     )(trix, o, d, tm)
-    occ = occ[:hh, :ww].reshape(s, h, w)
+    occ = occ[:, :hh, :ww]
     return occ.reshape(lead + (h, w)) if lead else occ[0]

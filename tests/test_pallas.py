@@ -24,7 +24,8 @@ def _rand_rays(rng, n, spread=2.0):
 
 def test_pallas_closest_matches_xla():
     scene = load_prebuilt("cornell_box")
-    assert fits_pallas(scene.geometry)
+    # fits_pallas is backend-gated (TPU only); interpret mode bypasses it.
+    assert scene.geometry.num_tris <= 2048
     rng = np.random.default_rng(0)
     rays = _rand_rays(rng, 300)
     t_b, tri_b, u_b, v_b = intersect_closest(rays, scene.geometry)
