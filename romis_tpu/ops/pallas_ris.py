@@ -1,0 +1,263 @@
+"""Fused Pallas kernel for RIS candidate generation.
+
+gen_canonical_samples (ops/wrs.py) streams S candidate slots through a
+lax.scan: per slot it draws randoms, row-gathers light data, evaluates the
+target PDF, and updates the running WRS state — every step round-tripping
+carries and gather results through HBM (measured 1.34 s/frame at 1080p).
+
+This kernel runs the whole candidate loop on-chip per image tile:
+
+- RNG: the per-core PRNG (pltpu.prng_seed / prng_random_bits), seeded from
+  (user seed, tile coordinates) — deterministic and tile-independent,
+- light fetch: the per-candidate light row ([L, 24] table) is fetched with a
+  ONE-HOT MATMUL on the MXU instead of a gather (Mosaic has no vectorised
+  gather; the one-hot contraction is ~50 MFLOP per slot-tile and rides the
+  otherwise idle MXU),
+- target PDF: the Phong evaluation inlined on component planes,
+- WRS: running Gumbel-max per lane in registers.
+
+HBM traffic: ctx in + reservoir out (~40 floats/pixel total). The RNG stream
+differs from the XLA path's threefry (different but equally deterministic
+sampling), so images differ sample-wise while all estimator statistics match
+— the parity test checks means/variances, not bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.features import Features
+from ..core.types import Reservoirs, ShadeCtx
+
+_BH, _BW = 64, 128  # pixel tile
+_OH_CHUNK = 1024  # one-hot matmul row chunk
+
+ZERO_EPSILON = 1e-5
+
+# Packed ctx plane order (see pack_ctx):
+# 0-2 position, 3-5 normal, 6-8 view_origin, 9-11 kd, 12-14 ks,
+# 15 shininess, 16 valid
+_CTX_PLANES = 17
+
+
+def pack_ctx(ctx: ShadeCtx) -> jnp.ndarray:
+    return jnp.concatenate([
+        ctx.position, ctx.normal, ctx.view_origin, ctx.kd, ctx.ks,
+        ctx.shininess[None], ctx.valid.astype(jnp.float32)[None],
+    ], axis=0)
+
+
+def _u01(bits):
+    """uint32 → float32 in [0, 1) using the top 24 bits."""
+    return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
+    """Target PDF ||phong||2 on component planes. cx = dict of ctx planes."""
+    px, py, pz = cx["px"], cx["py"], cx["pz"]
+    nx, ny, nz = cx["nx"], cx["ny"], cx["nz"]
+    tlx, tly, tlz = lx - px, ly - py, lz - pz
+    dist2 = tlx * tlx + tly * tly + tlz * tlz
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    inv_d = 1.0 / jnp.maximum(dist, 1e-20)
+    ldx, ldy, ldz = tlx * inv_d, tly * inv_d, tlz * inv_d
+    dot_nl = nx * ldx + ny * ldy + nz * ldz
+
+    vx0 = cx["vx"] - px
+    vy0 = cx["vy"] - py
+    vz0 = cx["vz"] - pz
+    vn = jax.lax.rsqrt(jnp.maximum(vx0 * vx0 + vy0 * vy0 + vz0 * vz0, 1e-20))
+    vx0, vy0, vz0 = vx0 * vn, vy0 * vn, vz0 * vn
+    rx = 2.0 * dot_nl * nx - ldx
+    ry = 2.0 * dot_nl * ny - ldy
+    rz = 2.0 * dot_nl * nz - ldz
+    rn = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-20))
+    cos_t = (rx * vx0 + ry * vy0 + rz * vz0) * rn
+
+    spec_pow = jnp.where(
+        cos_t > 0.0,
+        jnp.exp(cx["shin"] * jnp.log(jnp.maximum(cos_t, 1e-12))), 0.0)
+    falloff = jnp.where(dist < ZERO_EPSILON, 1.0, dist)
+    inv_f2 = 1.0 / (falloff * falloff)
+
+    out_r = (cr * cx["kdx"] * dot_nl + cr * cx["ksx"] * spec_pow) * inv_f2
+    out_g = (cg * cx["kdy"] * dot_nl + cg * cx["ksy"] * spec_pow) * inv_f2
+    out_b = (cb * cx["kdz"] * dot_nl + cb * cx["ksz"] * spec_pow) * inv_f2
+    ok = (dot_nl >= 0.0) & (cx["valid"] > 0.5)
+    sq = out_r * out_r + out_g * out_g + out_b * out_b
+    p_hat = jnp.where(sq > 1e-30, jnp.sqrt(jnp.where(sq > 1e-30, sq, 1.0)),
+                      0.0)
+    return jnp.where(ok, p_hat, 0.0)
+
+
+def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
+                seed_ref, ctx_ref, table_ref, *out_refs):
+    bh, bw = ctx_ref.shape[-2:]
+    p = bh * bw
+    l_pad = table_ref.shape[0]
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + ti * 65537 + tj * 131)
+
+    cx = {
+        "px": ctx_ref[0], "py": ctx_ref[1], "pz": ctx_ref[2],
+        "nx": ctx_ref[3], "ny": ctx_ref[4], "nz": ctx_ref[5],
+        "vx": ctx_ref[6], "vy": ctx_ref[7], "vz": ctx_ref[8],
+        "kdx": ctx_ref[9], "kdy": ctx_ref[10], "kdz": ctx_ref[11],
+        "ksx": ctx_ref[12], "ksy": ctx_ref[13], "ksz": ctx_ref[14],
+        "shin": ctx_ref[15], "valid": ctx_ref[16],
+    }
+
+    table = table_ref[...]  # [L_pad, 24] f32 (VMEM resident)
+    table_bf = table.astype(jnp.bfloat16)
+
+    # Per-lane running state.
+    w_sum = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k_lanes)]
+    best = [jnp.full((bh, bw), -jnp.inf) for _ in range(k_lanes)]
+    sel = [[jnp.zeros((bh, bw), jnp.float32) for _ in range(8)]
+           for _ in range(k_lanes)]  # pos(3) color(3) w p_hat
+
+    for s in range(s_slots):
+        lane = s % k_lanes
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4 * bh, bw)),
+                             jnp.uint32)
+        u_idx = _u01(bits[0 * bh:1 * bh])
+        u1 = _u01(bits[1 * bh:2 * bh])
+        u2 = _u01(bits[2 * bh:3 * bh])
+        u_g = _u01(bits[3 * bh:4 * bh])
+
+        idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
+                          num_lights - 1)  # [bh, bw]
+
+        # One-hot MXU fetch of the light rows, chunked over pixels.
+        idx_flat = idx.reshape(p, 1)
+        rows_parts = []
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (_OH_CHUNK, l_pad), 1)
+        for c0 in range(0, p, _OH_CHUNK):
+            chunk_idx = idx_flat[c0:c0 + _OH_CHUNK]
+            oh = (iota_l == chunk_idx).astype(jnp.bfloat16)
+            rows_parts.append(
+                jnp.dot(oh, table_bf, preferred_element_type=jnp.float32))
+        rows = jnp.concatenate(rows_parts, axis=0)  # [P, 24]
+
+        def plane(i):
+            return rows[:, i].reshape(bh, bw)
+
+        # position = v0 + u1*e01 + u2*e02
+        lx = plane(0) + u1 * plane(3) + u2 * plane(6)
+        ly = plane(1) + u1 * plane(4) + u2 * plane(7)
+        lz = plane(2) + u1 * plane(5) + u2 * plane(8)
+        # color = bilerp(c0..c3; u1, u2)
+        one_m_u = 1.0 - u1
+        one_m_v = 1.0 - u2
+
+        def bilerp(a, b, c, d):
+            return ((plane(a) * one_m_u + plane(b) * u1) * one_m_v
+                    + (plane(c) * one_m_u + plane(d) * u1) * u2)
+
+        cr = bilerp(9, 12, 15, 18)
+        cg = bilerp(10, 13, 16, 19)
+        cb = bilerp(11, 14, 17, 20)
+
+        p_hat = _phong_phat(cx, lx, ly, lz, cr, cg, cb)
+        w = p_hat * float(num_lights)
+
+        gumbel = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
+        score = jnp.where(w > 0.0,
+                          jnp.log(jnp.maximum(w, 1e-37)) + gumbel, -jnp.inf)
+        upd = score > best[lane]
+        w_sum[lane] = w_sum[lane] + w
+        best[lane] = jnp.where(upd, score, best[lane])
+        vals = (lx, ly, lz, cr, cg, cb, w, p_hat)
+        sel[lane] = [jnp.where(upd, v, old)
+                     for v, old in zip(vals, sel[lane])]
+
+    # Outputs: per lane [pos3, color3, w_sum, chosen_w, p_hat, big_w].
+    for lane in range(k_lanes):
+        m = float(lane_counts[lane])
+        p_hat_l = sel[lane][7]
+        cond = p_hat_l > 0.0
+        denom = jnp.where(cond, p_hat_l * m, 1.0)
+        big_w = jnp.where(cond, w_sum[lane] / denom, 0.0)
+        planes = sel[lane][:6] + [w_sum[lane], sel[lane][6], p_hat_l, big_w]
+        for i, v in enumerate(planes):
+            out_refs[lane * 10 + i][...] = v
+
+
+def gen_canonical_samples_pallas(
+    seed: jnp.ndarray,  # [] int32
+    ctx: ShadeCtx,
+    lights,
+    num_lights: int,
+    features: Features,
+    interpret: bool = False,
+) -> Reservoirs:
+    """Fused-RIS entry with the gen_canonical_samples contract (different,
+    equally deterministic RNG stream)."""
+    from .wrs import _lane_layout
+
+    h, w = ctx.depth_t.shape[-2:]
+    s = features.initial_light_samples
+    k = features.num_samples_in_reservoir
+    _, lane_counts, _ = _lane_layout(s, k)
+
+    packed = pack_ctx(ctx)
+    ph = (-h) % _BH
+    pw = (-w) % _BW
+    if ph or pw:
+        packed = jnp.pad(packed, ((0, 0), (0, ph), (0, pw)))
+    hp, wp = packed.shape[-2:]
+
+    # Pad the light table to a lane-friendly row count.
+    l = lights.rows.shape[0]
+    l_pad = max(128, -(-l // 128) * 128)
+    table = jnp.pad(lights.rows, ((0, l_pad - l), (0, 0)))
+
+    grid = (hp // _BH, wp // _BW)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32) for _ in range(10 * k))
+    out_specs = tuple(
+        pl.BlockSpec((_BH, _BW), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM) for _ in range(10 * k))
+    outs = pl.pallas_call(
+        functools.partial(_ris_kernel, s, k, num_lights,
+                          tuple(float(c) for c in lane_counts)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((_CTX_PLANES, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light table
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), packed, table)
+
+    def crop(a):
+        return a[:h, :w]
+
+    def lane_planes(lane):
+        return [crop(outs[lane * 10 + i]) for i in range(10)]
+
+    pos = jnp.stack(
+        [jnp.stack(lane_planes(lane)[0:3], axis=0) for lane in range(k)])
+    color = jnp.stack(
+        [jnp.stack(lane_planes(lane)[3:6], axis=0) for lane in range(k)])
+    w_sum = jnp.stack([lane_planes(lane)[6] for lane in range(k)])
+    chosen = jnp.stack([lane_planes(lane)[7] for lane in range(k)])
+    big_w = jnp.stack([lane_planes(lane)[9] for lane in range(k)])
+    m = jnp.broadcast_to(
+        jnp.asarray(lane_counts)[:, None, None], (k, h, w))
+
+    # NB: the initial_samples_visibility_check kill is applied by the
+    # dispatching wrapper (ops/wrs.gen_canonical_samples), which has the
+    # geometry for the shadow rays.
+    return Reservoirs(pos=pos, color=color, w_sum=w_sum, m=m, big_w=big_w,
+                      chosen_w=chosen)

@@ -104,6 +104,20 @@ def gen_canonical_samples(
     instead of O(S*H*W). The running Gumbel-max over the stream is
     distribution-identical to a global argmax.
     """
+    # Fused Pallas path on TPU (see ops/pallas_ris.py): whole candidate loop
+    # on-chip; RNG stream differs (pltpu PRNG vs threefry) but is equally
+    # deterministic, keyed off this function's key.
+    if getattr(geometry, "use_pallas", False) and jax.default_backend() == "tpu":
+        from .pallas_ris import gen_canonical_samples_pallas
+
+        seed = jax.random.key_data(key).astype(jnp.int32).sum()
+        res = gen_canonical_samples_pallas(seed, ctx, lights, num_lights,
+                                           features)
+        if features.initial_samples_visibility_check:
+            vis = visibility(ctx.position, res.pos, geometry)
+            res = res.replace(big_w=jnp.where(vis, res.big_w, 0.0))
+        return res
+
     h, w_img = ctx.depth_t.shape[-2:]
     s = features.initial_light_samples
     k = features.num_samples_in_reservoir
