@@ -34,8 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 
-_BH, _BW = 64, 128  # pixel tile
-_OH_CHUNK = 1024  # one-hot matmul row chunk
+_BH, _BW = 32, 128  # pixel tile (bh rows of one-hot matmuls per slot)
 
 ZERO_EPSILON = 1e-5
 
@@ -53,8 +52,11 @@ def pack_ctx(ctx: ShadeCtx) -> jnp.ndarray:
 
 
 def _u01(bits):
-    """uint32 → float32 in [0, 1) using the top 24 bits."""
-    return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    """random bits → float32 in [0, 1) via the top 24 bits. Mosaic has no
+    uint32→f32 cast; go through int32 with a logical shift."""
+    b = pltpu.bitcast(bits, jnp.int32)
+    return (jax.lax.shift_right_logical(b, 8).astype(jnp.float32)
+            * (1.0 / 16777216.0))
 
 
 def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
@@ -96,10 +98,9 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
-                seed_ref, ctx_ref, table_ref, *out_refs):
+                seed_ref, ctx_ref, table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
-    p = bh * bw
-    l_pad = table_ref.shape[0]
+    l_pad = table_t_ref.shape[1]
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -114,8 +115,10 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         "shin": ctx_ref[15], "valid": ctx_ref[16],
     }
 
-    table = table_ref[...]  # [L_pad, 24] f32 (VMEM resident)
-    table_bf = table.astype(jnp.bfloat16)
+    # Transposed light table [24, L_pad] resident in VMEM as bf16 for the
+    # one-hot MXU fetch.
+    table_t = table_t_ref[...].astype(jnp.bfloat16)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, bw), 0)
 
     # Per-lane running state.
     w_sum = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k_lanes)]
@@ -135,19 +138,19 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
                           num_lights - 1)  # [bh, bw]
 
-        # One-hot MXU fetch of the light rows, chunked over pixels.
-        idx_flat = idx.reshape(p, 1)
-        rows_parts = []
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (_OH_CHUNK, l_pad), 1)
-        for c0 in range(0, p, _OH_CHUNK):
-            chunk_idx = idx_flat[c0:c0 + _OH_CHUNK]
-            oh = (iota_l == chunk_idx).astype(jnp.bfloat16)
-            rows_parts.append(
-                jnp.dot(oh, table_bf, preferred_element_type=jnp.float32))
-        rows = jnp.concatenate(rows_parts, axis=0)  # [P, 24]
+        # One-hot MXU fetch: per tile row r, oh[l, j] = (l == idx[r, j]),
+        # light components = table_t [24, L] @ oh [L, bw] → [24, bw].
+        # Row slices keep the lane axis intact (Mosaic has no lane-moving
+        # reshape and no vectorised gather).
+        row_comps = []
+        for r in range(bh):
+            oh = (iota_l == idx[r:r + 1, :]).astype(jnp.bfloat16)
+            row_comps.append(
+                jnp.dot(table_t, oh, preferred_element_type=jnp.float32))
+        comps = jnp.stack(row_comps, axis=1)  # [24, bh, bw]
 
         def plane(i):
-            return rows[:, i].reshape(bh, bw)
+            return comps[i]
 
         # position = v0 + u1*e01 + u2*e02
         lx = plane(0) + u1 * plane(3) + u2 * plane(6)
@@ -214,10 +217,11 @@ def gen_canonical_samples_pallas(
         packed = jnp.pad(packed, ((0, 0), (0, ph), (0, pw)))
     hp, wp = packed.shape[-2:]
 
-    # Pad the light table to a lane-friendly row count.
+    # Pad the light table to a lane-friendly count and transpose to [24, L]
+    # for the in-kernel one-hot matmul.
     l = lights.rows.shape[0]
     l_pad = max(128, -(-l // 128) * 128)
-    table = jnp.pad(lights.rows, ((0, l_pad - l), (0, 0)))
+    table_t = jnp.pad(lights.rows, ((0, l_pad - l), (0, 0))).T
 
     grid = (hp // _BH, wp // _BW)
     out_shape = tuple(
@@ -238,7 +242,7 @@ def gen_canonical_samples_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), packed, table)
+    )(jnp.asarray([seed], jnp.int32), packed, table_t)
 
     def crop(a):
         return a[:h, :w]
