@@ -88,6 +88,11 @@ class Features:
     spatial_resampling_passes: int = 2
     temporal_clamp_m: int = 20
 
+    # TPU-only: fused Pallas halo-tile neighbour gather for spatial reuse
+    # (ops/pallas_spatial.py). Column offsets become column-coherent per
+    # neighbour/pass (per-pixel marginals unchanged); ~10x faster gathers.
+    fused_spatial_gather: bool = False
+
     # Temporal reprojection with motion vectors. The reference explicitly
     # lacks motion vectors (report §2; render_utils.cpp:151-172 indexes the
     # same screen coordinate); we add camera-motion reprojection as a

@@ -225,6 +225,52 @@ def spatial_pass(
     return combine_biased(combine_key, ctx, inputs, in_mask, features)
 
 
+def pack_pixel_planes(res: Reservoirs, ctx: ShadeCtx) -> jnp.ndarray:
+    """Planes-first packing [C, H, W] for the fused Pallas spatial gather —
+    pure concatenation, no transposes (image-minor layout preserved)."""
+    h, w = ctx.depth_t.shape[-2:]
+
+    def flat(a):
+        return a.reshape((-1, h, w))
+
+    return jnp.concatenate([
+        flat(res.pos), flat(res.color), res.w_sum, res.m, res.big_w,
+        res.chosen_w,
+        ctx.position, ctx.normal, ctx.view_origin, ctx.kd, ctx.ks,
+        ctx.shininess[None], ctx.depth_t[None],
+        ctx.geom_id.astype(jnp.float32)[None],
+        ctx.valid.astype(jnp.float32)[None],
+    ], axis=0)
+
+
+def unpack_pixel_planes(g: jnp.ndarray, k: int):
+    """Inverse of pack_pixel_planes for gathered planes [N, C, H, W] →
+    (Reservoirs [N, K, ..., H, W], ShadeCtx [N, ..., H, W])."""
+    n = g.shape[0]
+    hw = g.shape[-2:]
+    pos = [0]
+
+    def take(cnt, shape):
+        a = g[:, pos[0]:pos[0] + cnt]
+        pos[0] += cnt
+        return a.reshape((n,) + shape + hw)
+
+    res = Reservoirs(
+        pos=take(3 * k, (k, 3)), color=take(3 * k, (k, 3)),
+        w_sum=take(k, (k,)), m=take(k, (k,)), big_w=take(k, (k,)),
+        chosen_w=take(k, (k,)),
+    )
+    ctx = ShadeCtx(
+        valid=jnp.zeros(()),
+        position=take(3, (3,)), normal=take(3, (3,)),
+        view_origin=take(3, (3,)), kd=take(3, (3,)), ks=take(3, (3,)),
+        shininess=take(1, ()), depth_t=take(1, ()),
+        geom_id=take(1, ()).astype(jnp.int32),
+    )
+    ctx = ctx.replace(valid=take(1, ()) > 0.5)
+    return res, ctx
+
+
 def spatial_reuse(
     key,
     ctx: ShadeCtx,
@@ -249,12 +295,24 @@ def spatial_reuse(
         kp = jax.random.fold_in(key, p)
         offs = jax.random.randint(kp, (2, k_n, height, width),
                                   -radius, radius + 1)
-        ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
-        nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
+        if (features.fused_spatial_gather
+                and getattr(geometry, "use_pallas", False)
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_spatial import spatial_neighbour_gather_pallas
 
-        packed = pack_pixel_rows(reservoirs, ctx)  # [H, W, C]
-        nbr, nbr_ctx = unpack_pixel_rows(
-            packed[ny, nx], features.num_samples_in_reservoir)
+            planes = pack_pixel_planes(reservoirs, ctx)
+            seed = jax.random.key_data(kp).astype(jnp.int32).sum()
+            g = spatial_neighbour_gather_pallas(
+                seed, planes, k_n, radius)
+            nbr, nbr_ctx = unpack_pixel_planes(
+                g, features.num_samples_in_reservoir)
+        else:
+            ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
+            nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
+
+            packed = pack_pixel_rows(reservoirs, ctx)  # [H, W, C]
+            nbr, nbr_ctx = unpack_pixel_rows(
+                packed[ny, nx], features.num_samples_in_reservoir)
 
         reservoirs = spatial_pass(
             jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,
