@@ -42,7 +42,8 @@ def main():
     if config == 5 or default_data_dir() is None:
         scene = ge._flagship_scene()
         h, w = 1080, 1920
-        features = Features()  # reference defaults: full spatiotemporal
+        features = Features(  # reference defaults: full spatiotemporal
+            fused_spatial_gather=os.environ.get("BENCH_FUSED", "1") == "1")
         cam = ge._flagship_camera(h, w)
     else:
         from romis_tpu.core.camera import make_camera

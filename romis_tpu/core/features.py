@@ -90,8 +90,10 @@ class Features:
 
     # TPU-only: fused Pallas halo-tile neighbour gather for spatial reuse
     # (ops/pallas_spatial.py). Column offsets become column-coherent per
-    # neighbour/pass (per-pixel marginals unchanged); ~10x faster gathers.
-    fused_spatial_gather: bool = False
+    # neighbour/pass (per-pixel marginals unchanged); 5.6x faster frames at
+    # 1080p. Dispatch is gated on TPU backend + geometry.use_pallas, so the
+    # default is on; set False to force the XLA gather path.
+    fused_spatial_gather: bool = True
 
     # Temporal reprojection with motion vectors. The reference explicitly
     # lacks motion vectors (report §2; render_utils.cpp:151-172 indexes the

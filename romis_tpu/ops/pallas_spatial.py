@@ -7,13 +7,15 @@ neighbours live within ±radius pixels, so each image tile only ever reads a
 
 - DMAs the halo window of every packed state plane into VMEM,
 - draws the neighbour offsets with the on-chip PRNG,
-- resolves each neighbour with TWO Mosaic dynamic gathers per plane:
-  a lane gather (columns) then a sublane gather (rows).
+- resolves each neighbour per plane with a Mosaic lane dynamic_gather
+  (columns; two overlapping 128-lane windows, since the gather indexes
+  within one vreg) followed by a masked (2r+1)-way select over static
+  sublane rolls (rows; sublane dynamic_gather cannot span vregs).
 
-Mosaic's dynamic_gather only supports one varying axis at a time
-(out[i,j] = op[idx[i,j], j] or op[i, idx[i,j]]), so the two-step
-factorisation requires the COLUMN offset dx to be shared down each output
-column (per neighbour, per pass); the row offset dy stays fully per-pixel.
+Mosaic's lane dynamic_gather only varies the lane axis
+(out[i,j] = op[i, idx[i,j]]), so the two-step factorisation requires the
+COLUMN offset dx to be shared down each output column (per neighbour, per
+pass); the row offset dy stays fully per-pixel.
 Per-pixel marginals are unchanged (dx, dy are still uniform on [-r, r] for
 every pixel — the estimator contract holds); only the cross-pixel noise
 correlation differs from the reference's fully-independent offsets. This
@@ -42,11 +44,18 @@ def _u01(bits):
             * (1.0 / 16777216.0))
 
 
+def _halo_window(radius: int):
+    """Halo window size, rounded up so VMEM DMA slices stay tiling-aligned
+    (sublanes multiple of 8, lanes multiple of 128)."""
+    he = -((-(_BH + 2 * radius)) // 8) * 8
+    we = -((-(_BW + 2 * radius)) // 128) * 128
+    return he, we
+
+
 def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
                    seed_ref, planes_hbm, out_ref, scratch, sem):
     bh, bw = _BH, _BW
-    he = bh + 2 * radius
-    we = bw + 2 * radius
+    he, we = _halo_window(radius)
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -59,9 +68,6 @@ def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
     dma.start()
     dma.wait()
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (he, we), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (he, we), 1)
-
     for n in range(n_nbr):
         bits = pltpu.bitcast(pltpu.prng_random_bits((2 * he, we)), jnp.uint32)
         # Per-pixel dy in [-r, r]; column-coherent dx (row 0 of the draw).
@@ -71,15 +77,41 @@ def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
                               .astype(jnp.int32), 2 * radius) - radius)[0:1]
 
         # Column gather: ls[i, j] = tile[i, r + j + dx(j)] for all rows i.
-        lane_idx = jnp.clip(lane_iota + radius + dx_row, 0, we - 1)
-        # Row gather: out[i, j] = ls[r + i + dy(i, j), j].
-        row_idx = jnp.clip(row_iota + radius + dy, 0, he - 1)
+        # The index j + r + dx(j) lies in [0, bw + 2r); Mosaic's lane
+        # dynamic_gather only indexes within one 128-lane vreg, so gather
+        # from two 128-lane windows ([0:bw] and [we-bw:we]) and select by
+        # index range (the windows overlap-cover the full range for r<=64).
+        lane_idx = (jax.lax.broadcasted_iota(jnp.int32, (he, bw), 1)
+                    + radius + dx_row[:, :bw])
+        lane_lo = jnp.minimum(lane_idx, bw - 1)
+        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
+        use_lo_lane = lane_idx < bw
+
+        # Row gather: sel[i, j] = ls[i + r + dy(i, j), j]. A sublane
+        # dynamic_gather cannot span vregs (8 sublanes for f32), so resolve
+        # the row offset with a masked (2r+1)-way select over static
+        # sublane rolls.
+        dy_b = dy[:bh, :bw]
 
         for c in range(n_planes):
             tile_c = scratch[c]
-            ls = jnp.take_along_axis(tile_c, lane_idx, axis=1)
-            sel = jnp.take_along_axis(ls, row_idx, axis=0)
-            out_ref[n, c] = sel[:bh, :bw]
+            t_lo = tile_c[:, :bw]
+            # t_hi[:, j] = tile[:, j + (we - bw)]: left-roll by (we - bw)
+            # == right-roll by bw (mod we).
+            t_hi = pltpu.roll(tile_c, shift=bw, axis=1)[:, :bw]
+            ls = jnp.where(
+                use_lo_lane,
+                jnp.take_along_axis(t_lo, jnp.broadcast_to(lane_lo,
+                                                           (he, bw)), axis=1),
+                jnp.take_along_axis(t_hi, jnp.broadcast_to(lane_hi,
+                                                           (he, bw)), axis=1))
+            sel = jnp.zeros((bh, bw), jnp.float32)
+            for d in range(-radius, radius + 1):
+                # cand[i, j] = ls[i + r + d, j]: left-roll by (r + d).
+                cand = pltpu.roll(ls, shift=(he - radius - d) % he,
+                                  axis=0)[:bh]
+                sel = jnp.where(dy_b == d, cand, sel)
+            out_ref[n, c] = sel
 
 
 def spatial_neighbour_gather_pallas(
@@ -90,26 +122,32 @@ def spatial_neighbour_gather_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns gathered neighbour planes [n_nbr, C, H, W]."""
+    if radius > 64:
+        # The two-window lane gather covers index range [0, bw+2r) only
+        # while 2r <= 128 lanes.
+        raise ValueError("fused spatial gather supports radius <= 64")
     c, h, w = planes.shape
     align_h = (-h) % _BH
     align_w = (-w) % _BW
-    # Edge padding implements the reference's border clamp.
+    he, we = _halo_window(radius)
+    # Edge padding implements the reference's border clamp; the extra
+    # (he - bh - 2r) rows / (we - bw - 2r) cols keep the last tile's
+    # aligned DMA window in bounds (never selected by any index).
     padded = jnp.pad(
         planes,
-        ((0, 0), (radius, radius + align_h), (radius, radius + align_w)),
+        ((0, 0),
+         (radius, align_h + (he - _BH - radius)),
+         (radius, align_w + (we - _BW - radius))),
         mode="edge")
     hp, wp = h + align_h, w + align_w
     grid = (hp // _BH, wp // _BW)
-
-    he = _BH + 2 * radius
-    we = _BW + 2 * radius
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, n_nbr, radius, c),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
         ],
         out_specs=pl.BlockSpec((n_nbr, c, _BH, _BW),
                                lambda i, j: (0, 0, i, j),

@@ -56,6 +56,35 @@ def test_pallas_any_matches_xla_with_leading_dims():
     np.testing.assert_array_equal(occ_b, occ_p)
 
 
+def test_spatial_gather_kernel_structure():
+    """Fused spatial neighbour gather (TPU-interpret emulation): every
+    gathered value must come from the clamped ±radius window of the source
+    pixel, identically across planes. (The TPU-interpret PRNG stub is
+    deterministic, so offset *distributions* are validated on hardware —
+    see the docstring of ops/pallas_spatial.py.)"""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.ops.pallas_spatial import spatial_neighbour_gather_pallas
+
+    h, w, r, n_nbr = 64, 200, 10, 2
+    coord = (np.arange(h)[:, None] * 4096
+             + np.arange(w)[None, :]).astype(np.float32)
+    planes = np.stack([coord, coord * 2.0], axis=0)
+    g = np.asarray(spatial_neighbour_gather_pallas(
+        7, jnp.asarray(planes), n_nbr, r,
+        interpret=pltpu.InterpretParams()))
+    assert g.shape == (n_nbr, 2, h, w)
+    v = g[:, 0]
+    yy = (v // 4096).astype(int)
+    xx = (v % 4096).astype(int)
+    ys = np.arange(h)[None, :, None]
+    xs = np.arange(w)[None, None, :]
+    assert np.all((yy >= np.maximum(ys - r, 0))
+                  & (yy <= np.minimum(ys + r, h - 1)))
+    assert np.all((xx >= np.maximum(xs - r, 0))
+                  & (xx <= np.minimum(xs + r, w - 1)))
+    np.testing.assert_array_equal(g[:, 1], 2.0 * g[:, 0])
+
+
 def test_custom_vjp_matches_autodiff_gradients():
     """The re-evaluation backward must equal autodiff through the block
     scan (away from selection ties)."""
