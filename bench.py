@@ -79,7 +79,9 @@ def main():
     # on the tunneled axon backend block_until_ready does not synchronize,
     # per-dispatch overhead is ~1s, and shipping the image to the host would
     # time the tunnel, not the chip. Fetching the final float is the sync.
-    n_frames = 3 if cpu_smoke else 10
+    # 50 frames in one scan: the tunnel adds ~1s fixed dispatch overhead
+    # per jitted call, which at 10 frames inflated ms/frame by ~100ms.
+    n_frames = 3 if cpu_smoke else 50
 
     def frames(key, prev):
         def body(state, k):

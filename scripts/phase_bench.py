@@ -1,0 +1,95 @@
+"""Per-phase timing of the ReSTIR frame on TPU.
+
+Each phase runs `reps` times inside one jitted lax.scan (the axon tunnel
+adds ~1s per dispatch and only scalar fetches synchronize), fed realistic
+inputs produced by the preceding phases. Run:
+    python scripts/phase_bench.py [HxW reps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    hw = sys.argv[1] if len(sys.argv) > 1 else "1080x1920"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    h, w = (int(x) for x in hw.split("x"))
+
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.wrs import gen_canonical_samples
+    from romis_tpu.render.restir import (
+        final_shade, generate_rays, initial_temporal_state, spatial_reuse,
+        temporal_reuse, trace_primary,
+    )
+    import __graft_entry__ as ge
+
+    scene = ge._flagship_scene()
+    features = Features()
+    cam = ge._flagship_camera(h, w)
+    geometry, lights, n_lights = (scene.geometry, scene.lights,
+                                  scene.num_lights)
+    k = features.num_samples_in_reservoir
+    prev = initial_temporal_state(h, w, k, cam)
+
+    key = jax.random.PRNGKey(0)
+
+    # Build realistic phase inputs once (jitted, untimed).
+    @jax.jit
+    def setup(key):
+        rays = generate_rays(cam, h, w)
+        _, ctx = trace_primary(rays, geometry, features)
+        res = gen_canonical_samples(key, ctx, lights, n_lights, geometry,
+                                    features)
+        return rays, ctx, res
+
+    rays, ctx, res = setup(key)
+    jax.block_until_ready(res)
+
+    def timed(name, body):
+        # ctx/res are jit ARGUMENTS (not closure constants): closure arrays
+        # get baked into the serialized HLO and blow the tunnel's compile
+        # payload limit at 1080p.
+        def run(key, ctx, res):
+            def f(carry, kk):
+                return carry, jnp.sum(body(kk, ctx, res))
+            keys = jax.random.split(key, reps)
+            _, sums = jax.lax.scan(f, 0.0, keys)
+            return jnp.sum(sums)
+
+        fn = jax.jit(run)
+        t0 = time.perf_counter()
+        float(fn(jax.random.PRNGKey(1), ctx, res))
+        t1 = time.perf_counter()
+        float(fn(jax.random.PRNGKey(2), ctx, res))
+        t2 = time.perf_counter()
+        print(f"{name:28s} compile {t1 - t0 - (t2 - t1):6.1f}s  "
+              f"{1000 * (t2 - t1) / reps:8.2f} ms/rep", flush=True)
+
+    timed("trace_primary",
+          lambda kk, ctx, res: trace_primary(generate_rays(cam, h, w),
+                                             geometry, features)[1].depth_t)
+    timed("gen_canonical (RIS)",
+          lambda kk, ctx, res: gen_canonical_samples(
+              kk, ctx, lights, n_lights, geometry, features).w_sum)
+    timed("temporal_reuse",
+          lambda kk, ctx, res: temporal_reuse(kk, ctx, res, prev, h, w,
+                                              features).w_sum)
+    timed("spatial_reuse (2 passes)",
+          lambda kk, ctx, res: spatial_reuse(kk, ctx, res, h, w, geometry,
+                                             features).w_sum)
+    timed("spatial_reuse (xla gather)",
+          lambda kk, ctx, res: spatial_reuse(
+              kk, ctx, res, h, w, geometry,
+              features.replace(fused_spatial_gather=False)).w_sum)
+    timed("final_shade",
+          lambda kk, ctx, res: final_shade(ctx, res, geometry, features))
+
+
+if __name__ == "__main__":
+    main()
