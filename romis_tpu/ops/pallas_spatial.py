@@ -52,6 +52,72 @@ def _halo_window(radius: int):
     return he, we
 
 
+def _draw_offsets(radius: int):
+    """Draw one neighbour offset field with the on-chip PRNG and precompute
+    the gather controls: per-pixel dy in [-r, r] (row masks for the
+    roll-select) and column-coherent dx (lane-gather indices).
+
+    Column gather: ls[i, j] = tile[i, r + j + dx(j)]. The index j + r + dx
+    lies in [0, bw + 2r); Mosaic's lane dynamic_gather only indexes within
+    one 128-lane vreg, so gather from two 128-lane windows ([0:bw] and
+    [we-bw:we]) and select by index range (the windows overlap-cover the
+    full range for r <= 64).
+
+    Row gather: sel[i, j] = ls[i + r + dy(i, j), j]. A sublane
+    dynamic_gather cannot span vregs (8 sublanes for f32), so the row
+    offset is resolved with a masked (2r+1)-way select over static sublane
+    rolls; the masks dy == d are precomputed here."""
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((2 * he, we)), jnp.uint32)
+    # Per-pixel dy in [-r, r]; column-coherent dx (row 0 of the draw).
+    dy = (jnp.minimum((_u01(bits[:he]) * (2 * radius + 1))
+                      .astype(jnp.int32), 2 * radius) - radius)
+    dx_row = (jnp.minimum((_u01(bits[he:he + 8]) * (2 * radius + 1))
+                          .astype(jnp.int32), 2 * radius) - radius)[0:1]
+
+    lane_idx = (jax.lax.broadcasted_iota(jnp.int32, (he, bw), 1)
+                + radius + dx_row[:, :bw])
+    lane_lo = jnp.broadcast_to(jnp.minimum(lane_idx, bw - 1), (he, bw))
+    lane_hi = jnp.broadcast_to(jnp.clip(lane_idx - (we - bw), 0, bw - 1),
+                               (he, bw))
+    use_lo_lane = lane_idx < bw
+
+    dy_b = dy[:bh, :bw]
+    row_masks = [dy_b == d for d in range(-radius, radius + 1)]
+    return lane_lo, lane_hi, use_lo_lane, row_masks
+
+
+def _resolve_plane(tile_c, offs, radius: int):
+    """Resolve one neighbour's offset field on one halo plane [he, we] →
+    [bh, bw] (see _draw_offsets for the factorisation)."""
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+    lane_lo, lane_hi, use_lo_lane, row_masks = offs
+    t_lo = tile_c[:, :bw]
+    # t_hi[:, j] = tile[:, j + (we - bw)]: left-roll by (we - bw)
+    # == right-roll by bw (mod we).
+    t_hi = pltpu.roll(tile_c, shift=bw, axis=1)[:, :bw]
+    ls = jnp.where(
+        use_lo_lane,
+        jnp.take_along_axis(t_lo, lane_lo, axis=1),
+        jnp.take_along_axis(t_hi, lane_hi, axis=1))
+    sel = jnp.zeros((bh, bw), jnp.float32)
+    for d in range(-radius, radius + 1):
+        # cand[i, j] = ls[i + r + d, j]: left-roll by (r + d).
+        cand = pltpu.roll(ls, shift=(he - radius - d) % he, axis=0)[:bh]
+        sel = jnp.where(row_masks[d + radius], cand, sel)
+    return sel
+
+
+def _center_plane(tile_c, radius: int):
+    """The tile's own (un-offset) pixels: tile[r + i, r + j] → [bh, bw]."""
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+    rows = pltpu.roll(tile_c, shift=(he - radius) % he, axis=0)[:bh]
+    return pltpu.roll(rows, shift=(we - radius) % we, axis=1)[:, :bw]
+
+
 def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
                    seed_ref, planes_hbm, out_ref, scratch, sem):
     bh, bw = _BH, _BW
@@ -69,49 +135,9 @@ def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
     dma.wait()
 
     for n in range(n_nbr):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((2 * he, we)), jnp.uint32)
-        # Per-pixel dy in [-r, r]; column-coherent dx (row 0 of the draw).
-        dy = (jnp.minimum((_u01(bits[:he]) * (2 * radius + 1))
-                          .astype(jnp.int32), 2 * radius) - radius)
-        dx_row = (jnp.minimum((_u01(bits[he:he + 8]) * (2 * radius + 1))
-                              .astype(jnp.int32), 2 * radius) - radius)[0:1]
-
-        # Column gather: ls[i, j] = tile[i, r + j + dx(j)] for all rows i.
-        # The index j + r + dx(j) lies in [0, bw + 2r); Mosaic's lane
-        # dynamic_gather only indexes within one 128-lane vreg, so gather
-        # from two 128-lane windows ([0:bw] and [we-bw:we]) and select by
-        # index range (the windows overlap-cover the full range for r<=64).
-        lane_idx = (jax.lax.broadcasted_iota(jnp.int32, (he, bw), 1)
-                    + radius + dx_row[:, :bw])
-        lane_lo = jnp.minimum(lane_idx, bw - 1)
-        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
-        use_lo_lane = lane_idx < bw
-
-        # Row gather: sel[i, j] = ls[i + r + dy(i, j), j]. A sublane
-        # dynamic_gather cannot span vregs (8 sublanes for f32), so resolve
-        # the row offset with a masked (2r+1)-way select over static
-        # sublane rolls.
-        dy_b = dy[:bh, :bw]
-
+        offs = _draw_offsets(radius)
         for c in range(n_planes):
-            tile_c = scratch[c]
-            t_lo = tile_c[:, :bw]
-            # t_hi[:, j] = tile[:, j + (we - bw)]: left-roll by (we - bw)
-            # == right-roll by bw (mod we).
-            t_hi = pltpu.roll(tile_c, shift=bw, axis=1)[:, :bw]
-            ls = jnp.where(
-                use_lo_lane,
-                jnp.take_along_axis(t_lo, jnp.broadcast_to(lane_lo,
-                                                           (he, bw)), axis=1),
-                jnp.take_along_axis(t_hi, jnp.broadcast_to(lane_hi,
-                                                           (he, bw)), axis=1))
-            sel = jnp.zeros((bh, bw), jnp.float32)
-            for d in range(-radius, radius + 1):
-                # cand[i, j] = ls[i + r + d, j]: left-roll by (r + d).
-                cand = pltpu.roll(ls, shift=(he - radius - d) % he,
-                                  axis=0)[:bh]
-                sel = jnp.where(dy_b == d, cand, sel)
-            out_ref[n, c] = sel
+            out_ref[n, c] = _resolve_plane(scratch[c], offs, radius)
 
 
 def spatial_neighbour_gather_pallas(
@@ -160,3 +186,168 @@ def spatial_neighbour_gather_pallas(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), padded)
     return out[:, :, :h, :w]
+
+
+def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
+                 normal_cos: float, seed_ref, planes_hbm, out_ref, scratch,
+                 sem):
+    """One whole spatial-reuse pass per tile: neighbour gather + similarity
+    gates + stream weights + lane-wise Gumbel race + combine, all in VMEM.
+
+    Estimator contract = ops/wrs.combine_biased over {self, neighbours}
+    (ReSTIR Alg. 5, reference Reservoir::combineBiased reservoir.cpp:40-66,
+    gates render_utils.cpp:113-118). Input planes are packed by
+    render/restir.pack_pixel_planes; outputs are the 10K reservoir planes."""
+    from .pallas_ris import _phong_phat
+
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + ti * 48271 + tj * 719)
+
+    dma = pltpu.make_async_copy(
+        planes_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    b = 10 * k  # ctx planes start (plane order: pack_pixel_planes)
+
+    def cen(i):
+        return _center_plane(scratch[i], radius)
+
+    # Receiver shading context (dict layout of pallas_ris._phong_phat).
+    cx = {
+        "px": cen(b + 0), "py": cen(b + 1), "pz": cen(b + 2),
+        "nx": cen(b + 3), "ny": cen(b + 4), "nz": cen(b + 5),
+        "vx": cen(b + 6), "vy": cen(b + 7), "vz": cen(b + 8),
+        "kdx": cen(b + 9), "kdy": cen(b + 10), "kdz": cen(b + 11),
+        "ksx": cen(b + 12), "ksy": cen(b + 13), "ksz": cen(b + 14),
+        "shin": cen(b + 15), "valid": cen(b + 18),
+    }
+    recv_depth = cen(b + 16)
+    recv_valid = cx["valid"] > 0.5
+
+    def gumbel_u(count):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((count * bh, bw)),
+                             jnp.uint32)
+        return [_u01(bits[i * bh:(i + 1) * bh]) for i in range(count)]
+
+    # Per-lane race state: w_sum, m_out, best score, selected
+    # [pos3, color3, w, p_hat].
+    w_sum = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k)]
+    m_out = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k)]
+    best = [jnp.full((bh, bw), -jnp.inf) for _ in range(k)]
+    sel = [[jnp.zeros((bh, bw), jnp.float32) for _ in range(8)]
+           for _ in range(k)]
+
+    def stream(lane, mask_f, pos3, col3, big_w, m, u_g):
+        p_hat = _phong_phat(cx, *pos3, *col3)
+        w = p_hat * big_w * m * mask_f
+        g = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
+        score = jnp.where(w > 0.0,
+                          jnp.log(jnp.maximum(w, 1e-37)) + g, -jnp.inf)
+        upd = score > best[lane]
+        w_sum[lane] = w_sum[lane] + w
+        m_out[lane] = m_out[lane] + m * mask_f
+        best[lane] = jnp.where(upd, score, best[lane])
+        vals = pos3 + col3 + (w, p_hat)
+        sel[lane] = [jnp.where(upd, v, o) for v, o in zip(vals, sel[lane])]
+
+    # Self stream (always participates, render_utils.cpp:121-124).
+    ug_self = gumbel_u(k)
+    ones = jnp.ones((bh, bw), jnp.float32)
+    for lane in range(k):
+        stream(
+            lane, ones,
+            tuple(cen(3 * lane + c) for c in range(3)),
+            tuple(cen(3 * k + 3 * lane + c) for c in range(3)),
+            cen(8 * k + lane), cen(7 * k + lane), ug_self[lane])
+
+    # Neighbour streams.
+    for _ in range(n_nbr):
+        offs = _draw_offsets(radius)
+
+        def nb(i):
+            return _resolve_plane(scratch[i], offs, radius)
+
+        n_depth = nb(b + 16)
+        n_valid = nb(b + 18) > 0.5
+        depth_ok = (jnp.abs(1.0 - n_depth
+                            / jnp.maximum(recv_depth, 1e-20)) <= depth_frac)
+        nnx, nny, nnz = nb(b + 3), nb(b + 4), nb(b + 5)
+        normal_ok = (nnx * cx["nx"] + nny * cx["ny"] + nnz * cx["nz"]
+                     >= normal_cos)
+        mask_f = jnp.where(depth_ok & normal_ok & recv_valid & n_valid,
+                           1.0, 0.0)
+
+        ug = gumbel_u(k)
+        for lane in range(k):
+            stream(
+                lane, mask_f,
+                tuple(nb(3 * lane + c) for c in range(3)),
+                tuple(nb(3 * k + 3 * lane + c) for c in range(3)),
+                nb(8 * k + lane), nb(7 * k + lane), ug[lane])
+
+    # Outputs in pack_pixel_planes reservoir order:
+    # pos 3K | color 3K | w_sum K | m K | big_w K | chosen_w K.
+    for lane in range(k):
+        p_sel = sel[lane][7]
+        cond = (p_sel > 0.0) & (m_out[lane] > 0.0)
+        denom = jnp.where(cond, p_sel * m_out[lane], 1.0)
+        big_w = jnp.where(cond, w_sum[lane] / denom, 0.0)
+        for c in range(3):
+            out_ref[3 * lane + c] = sel[lane][c]
+            out_ref[3 * k + 3 * lane + c] = sel[lane][3 + c]
+        out_ref[6 * k + lane] = w_sum[lane]
+        out_ref[7 * k + lane] = m_out[lane]
+        out_ref[8 * k + lane] = big_w
+        out_ref[9 * k + lane] = sel[lane][6]
+
+
+def spatial_pass_pallas(
+    seed,
+    planes: jnp.ndarray,  # [C, H, W] pack_pixel_planes layout
+    k: int,
+    n_nbr: int,
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused spatial-reuse pass → updated reservoir planes [10K, H, W]."""
+    if radius > 64:
+        raise ValueError("fused spatial pass supports radius <= 64")
+    c, h, w = planes.shape
+    align_h = (-h) % _BH
+    align_w = (-w) % _BW
+    he, we = _halo_window(radius)
+    padded = jnp.pad(
+        planes,
+        ((0, 0),
+         (radius, align_h + (he - _BH - radius)),
+         (radius, align_w + (we - _BW - radius))),
+        mode="edge")
+    hp, wp = h + align_h, w + align_w
+    grid = (hp // _BH, wp // _BW)
+
+    from ..render.restir import SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS
+
+    out = pl.pallas_call(
+        functools.partial(_pass_kernel, n_nbr, radius, k,
+                          SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
+        ],
+        out_specs=pl.BlockSpec((10 * k, _BH, _BW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10 * k, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), padded)
+    return out[:, :h, :w]

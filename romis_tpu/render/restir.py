@@ -271,6 +271,20 @@ def unpack_pixel_planes(g: jnp.ndarray, k: int):
     return res, ctx
 
 
+def unpack_reservoir_planes(g: jnp.ndarray, k: int) -> Reservoirs:
+    """[10K, H, W] reservoir-plane block (pack_pixel_planes order) →
+    Reservoirs."""
+    hw = g.shape[-2:]
+    return Reservoirs(
+        pos=g[0:3 * k].reshape((k, 3) + hw),
+        color=g[3 * k:6 * k].reshape((k, 3) + hw),
+        w_sum=g[6 * k:7 * k],
+        m=g[7 * k:8 * k],
+        big_w=g[8 * k:9 * k],
+        chosen_w=g[9 * k:10 * k],
+    )
+
+
 def spatial_reuse(
     key,
     ctx: ShadeCtx,
@@ -287,6 +301,27 @@ def spatial_reuse(
     render_utils.cpp:113-118), and combines {neighbours..., self}."""
     k_n = features.num_neighbours_to_sample
     radius = features.spatial_resample_radius
+    k = features.num_samples_in_reservoir
+
+    # Fully fused TPU path: gather + gates + stream weights + Gumbel race +
+    # combine in one Pallas kernel per pass (ops/pallas_spatial._pass_kernel)
+    # — the gathered [R, C, H, W] planes never round-trip through HBM.
+    # The unbiased combine needs neighbour-origin shadow rays, so it keeps
+    # the gather-then-combine path below.
+    if (features.fused_spatial_gather
+            and getattr(geometry, "use_pallas", False)
+            and jax.default_backend() == "tpu"
+            and not features.unbiased_combination):
+        from ..ops.pallas_spatial import spatial_pass_pallas
+
+        planes = pack_pixel_planes(reservoirs, ctx)
+        nres = 10 * k
+        for p in range(features.spatial_resampling_passes):
+            kp = jax.random.fold_in(key, p)
+            seed = jax.random.key_data(kp).astype(jnp.int32).sum()
+            res_planes = spatial_pass_pallas(seed, planes, k, k_n, radius)
+            planes = jnp.concatenate([res_planes, planes[nres:]], axis=0)
+        return unpack_reservoir_planes(planes[:nres], k)
 
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]

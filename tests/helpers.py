@@ -39,6 +39,43 @@ def make_rays(origins, dirs) -> Rays:
     return Rays(origin=pack_vec(origins), direction=pack_vec(dirs))
 
 
+def random_reservoirs_and_ctx(rng, h, w, k):
+    """Plausible random Reservoirs + ShadeCtx over a full [H, W] grid
+    (unit normals, positive depths, mixed validity) for combine tests."""
+    from romis_tpu.core.types import Reservoirs
+
+    def f(*shape):
+        return jnp.asarray(rng.uniform(0.1, 2.0, shape).astype(np.float32))
+
+    normal = rng.normal(size=(3, h, w)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=0, keepdims=True)
+    res = Reservoirs(
+        pos=jnp.asarray(
+            rng.uniform(-3, 3, (k, 3, h, w)).astype(np.float32)),
+        color=f(k, 3, h, w),
+        w_sum=f(k, h, w),
+        m=jnp.asarray(
+            rng.integers(1, 20, (k, h, w)).astype(np.float32)),
+        big_w=f(k, h, w),
+        chosen_w=f(k, h, w),
+    )
+    ctx = ShadeCtx(
+        valid=jnp.asarray(rng.uniform(size=(h, w)) > 0.15),
+        position=jnp.asarray(
+            rng.uniform(-2, 2, (3, h, w)).astype(np.float32)),
+        normal=jnp.asarray(normal),
+        view_origin=jnp.asarray(
+            rng.uniform(-2, 2, (3, h, w)).astype(np.float32)),
+        kd=f(3, h, w),
+        ks=f(3, h, w) * 0.2,
+        shininess=jnp.asarray(
+            rng.uniform(1, 30, (h, w)).astype(np.float32)),
+        depth_t=f(h, w),
+        geom_id=jnp.zeros((h, w), jnp.int32),
+    )
+    return res, ctx
+
+
 def make_ctx(n=None, *, valid=None, position, normal, view_origin, kd, ks,
              shininess, geom_id=None, depth_t=None) -> ShadeCtx:
     position = np.asarray(position, np.float32).reshape(-1, 3)

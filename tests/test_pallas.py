@@ -85,6 +85,81 @@ def test_spatial_gather_kernel_structure():
     np.testing.assert_array_equal(g[:, 1], 2.0 * g[:, 0])
 
 
+def test_spatial_pass_kernel_matches_combine_semantics():
+    """Fused spatial pass (TPU-interpret emulation) vs a replay of the
+    combine_biased semantics. The interpret PRNG stub returns zeros, so all
+    offsets are (-r, -r) and the Gumbel perturbation is one constant —
+    the winner is the first stream with maximal w, which we can replay
+    exactly with the XLA building blocks."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_spatial import spatial_pass_pallas
+    from romis_tpu.ops.shading import target_pdf
+    from romis_tpu.render.restir import (
+        SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS, pack_pixel_planes,
+        unpack_pixel_planes, unpack_reservoir_planes,
+    )
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, r, k, n_nbr = 40, 150, 3, 2, 2
+    feats = Features()
+    res, ctx = random_reservoirs_and_ctx(np.random.default_rng(3), h, w, k)
+
+    planes = pack_pixel_planes(res, ctx)
+    got = unpack_reservoir_planes(
+        spatial_pass_pallas(5, planes, k, n_nbr, r,
+                            interpret=pltpu.InterpretParams()), k)
+
+    # Replay: every neighbour is the pixel at clamp(y-r, x-r).
+    ys = np.clip(np.arange(h) - r, 0, h - 1)
+    xs = np.clip(np.arange(w) - r, 0, w - 1)
+    g = np.asarray(planes)[:, ys][:, :, xs]
+    nbr, nbr_ctx = unpack_pixel_planes(jnp.asarray(g)[None], k)
+
+    depth_ok = np.abs(
+        1.0 - np.asarray(nbr_ctx.depth_t[0])
+        / np.maximum(np.asarray(ctx.depth_t), 1e-20)) <= SPATIAL_DEPTH_FRAC
+    normal_ok = np.sum(
+        np.asarray(nbr_ctx.normal[0]) * np.asarray(ctx.normal), axis=0,
+    ) >= SPATIAL_NORMAL_COS
+    mask_nbr = (depth_ok & normal_ok & np.asarray(ctx.valid)
+                & np.asarray(nbr_ctx.valid[0]))
+
+    # Stream order in the kernel: self first, then n_nbr identical copies
+    # of the gathered neighbour.
+    def stack(field_self, field_nbr):
+        return np.stack([field_self] + [field_nbr] * n_nbr, axis=0)
+
+    p_self = np.asarray(target_pdf(ctx, res.pos, res.color, feats))
+    p_nbr = np.asarray(target_pdf(ctx, nbr.pos[0], nbr.color[0], feats))
+    p_hat = stack(p_self, p_nbr)  # [R+1, K, H, W]
+    masks = stack(np.ones((h, w), bool), mask_nbr)[:, None]
+    w_stream = (p_hat * stack(np.asarray(res.big_w), np.asarray(nbr.big_w[0]))
+                * stack(np.asarray(res.m), np.asarray(nbr.m[0])) * masks)
+
+    w_sum = w_stream.sum(axis=0)
+    m_out = (stack(np.asarray(res.m), np.asarray(nbr.m[0])) * masks).sum(0)
+    # First stream with maximal w wins (constant Gumbel, strict >).
+    win = np.argmax(w_stream, axis=0)
+    any_pos = (w_stream > 0).any(axis=0)
+    take = np.take_along_axis
+    sel_p_hat = take(p_hat, win[None], 0)[0] * any_pos
+    pos_all = stack(np.asarray(res.pos), np.asarray(nbr.pos[0]))
+    sel_pos = take(pos_all, win[:, None][None], 0)[0]
+    cond = (sel_p_hat > 0) & (m_out > 0)
+    big_w = np.where(cond, w_sum / np.where(cond, sel_p_hat * m_out, 1.0),
+                     0.0)
+
+    np.testing.assert_allclose(np.asarray(got.w_sum), w_sum, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.m), m_out, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.big_w), big_w, rtol=2e-3,
+                               atol=1e-4)
+    sel_mask = any_pos[:, None]
+    np.testing.assert_allclose(np.asarray(got.pos) * sel_mask,
+                               sel_pos * sel_mask, rtol=2e-4, atol=1e-5)
+
+
 def test_custom_vjp_matches_autodiff_gradients():
     """The re-evaluation backward must equal autodiff through the block
     scan (away from selection ties)."""
