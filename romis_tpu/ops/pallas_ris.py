@@ -9,10 +9,12 @@ This kernel runs the whole candidate loop on-chip per image tile:
 
 - RNG: the per-core PRNG (pltpu.prng_seed / prng_random_bits), seeded from
   (user seed, tile coordinates) — deterministic and tile-independent,
-- light fetch: the per-candidate light row ([L, 24] table) is fetched with a
-  ONE-HOT MATMUL on the MXU instead of a gather (Mosaic has no vectorised
-  gather; the one-hot contraction is ~50 MFLOP per slot-tile and rides the
-  otherwise idle MXU),
+- light fetch: the per-candidate light row ([L, 24] table) is fetched with
+  WINDOWED LANE DYNAMIC_GATHERS — the table lives transposed in VMEM as
+  L_pad/128 broadcast windows per component, and the per-pixel index picks
+  its window by range select (Mosaic's gather indexes within one 128-lane
+  vreg). This replaced a one-hot MXU matmul fetch that wasted 104/128 of
+  the systolic array's output rows (24 components),
 - target PDF: the Phong evaluation inlined on component planes,
 - WRS: running Gumbel-max per lane in registers.
 
@@ -115,39 +117,38 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         "shin": ctx_ref[15], "valid": ctx_ref[16],
     }
 
-    # Transposed light table [24, L_pad] resident in VMEM as bf16 for the
-    # one-hot MXU fetch.
-    table_t = table_t_ref[...].astype(jnp.bfloat16)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, bw), 0)
+    # Light components fetched with windowed lane dynamic_gathers: Mosaic's
+    # gather indexes within one 128-lane vreg, so each of the 21 used
+    # components is kept as n_win = L_pad/128 broadcast windows [bh, 128]
+    # and the fetch selects by index range. (An earlier one-hot MXU fetch
+    # was ~4x slower: M = 24 output rows uses 24/128 of the systolic array.)
+    n_win = l_pad // 128
+    # NB: materialize the sublane broadcast with an add — take_along_axis
+    # of a lazy (1, 128) broadcast lowers as a >2D gather, which Mosaic
+    # rejects ("Only 2D gather is supported").
+    zeros_bh = jnp.zeros((bh, 128), jnp.float32)
+    tab_wins = [
+        [table_t_ref[c:c + 1, 128 * v:128 * (v + 1)] + zeros_bh
+         for v in range(n_win)]
+        for c in range(21)
+    ]
 
-    # Per-lane running state.
-    w_sum = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k_lanes)]
-    best = [jnp.full((bh, bw), -jnp.inf) for _ in range(k_lanes)]
-    sel = [[jnp.zeros((bh, bw), jnp.float32) for _ in range(8)]
-           for _ in range(k_lanes)]  # pos(3) color(3) w p_hat
+    def fetch_comps(idx):
+        comps = [jnp.zeros((bh, bw), jnp.float32) for _ in range(21)]
+        for v in range(n_win):
+            idx_local = jnp.clip(idx - 128 * v, 0, 127)
+            in_w = (idx >= 128 * v) & (idx < 128 * (v + 1))
+            for c in range(21):
+                g = jnp.take_along_axis(tab_wins[c][v], idx_local, axis=1)
+                comps[c] = jnp.where(in_w, g, comps[c])
+        return comps
 
-    for s in range(s_slots):
-        lane = s % k_lanes
-        bits = pltpu.bitcast(pltpu.prng_random_bits((4 * bh, bw)),
-                             jnp.uint32)
-        u_idx = _u01(bits[0 * bh:1 * bh])
-        u1 = _u01(bits[1 * bh:2 * bh])
-        u2 = _u01(bits[2 * bh:3 * bh])
-        u_g = _u01(bits[3 * bh:4 * bh])
-
+    def candidate(u_idx, u1, u2):
+        """One candidate per pixel: light pick + point sample + target PDF
+        → (pos3, color3, p_hat)."""
         idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
                           num_lights - 1)  # [bh, bw]
-
-        # One-hot MXU fetch: per tile row r, oh[l, j] = (l == idx[r, j]),
-        # light components = table_t [24, L] @ oh [L, bw] → [24, bw].
-        # Row slices keep the lane axis intact (Mosaic has no lane-moving
-        # reshape and no vectorised gather).
-        row_comps = []
-        for r in range(bh):
-            oh = (iota_l == idx[r:r + 1, :]).astype(jnp.bfloat16)
-            row_comps.append(
-                jnp.dot(table_t, oh, preferred_element_type=jnp.float32))
-        comps = jnp.stack(row_comps, axis=1)  # [24, bh, bw]
+        comps = fetch_comps(idx)
 
         def plane(i):
             return comps[i]
@@ -167,28 +168,62 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         cr = bilerp(9, 12, 15, 18)
         cg = bilerp(10, 13, 16, 19)
         cb = bilerp(11, 14, 17, 20)
-
         p_hat = _phong_phat(cx, lx, ly, lz, cr, cg, cb)
-        w = p_hat * float(num_lights)
+        return (lx, ly, lz), (cr, cg, cb), p_hat
 
-        gumbel = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
-        score = jnp.where(w > 0.0,
-                          jnp.log(jnp.maximum(w, 1e-37)) + gumbel, -jnp.inf)
-        upd = score > best[lane]
-        w_sum[lane] = w_sum[lane] + w
-        best[lane] = jnp.where(upd, score, best[lane])
-        vals = (lx, ly, lz, cr, cg, cb, w, p_hat)
-        sel[lane] = [jnp.where(upd, v, old)
-                     for v, old in zip(vals, sel[lane])]
+    # Per-lane running state, carried through a ROLLED step loop (the
+    # fully unrolled slot loop compiled for minutes under Mosaic once the
+    # windowed-gather fetch replaced the one-hot matmuls). One step draws
+    # one candidate per lane (candidate j = step*K + lane, matching
+    # ops/wrs._lane_layout).
+    sk = -(-s_slots // k_lanes)
+    init = []
+    for _ in range(k_lanes):
+        init += [jnp.zeros((bh, bw), jnp.float32),        # w_sum
+                 jnp.full((bh, bw), -jnp.inf)]            # best score
+        init += [jnp.zeros((bh, bw), jnp.float32)] * 8    # pos3 col3 w p_hat
+
+    def step(t, carry):
+        carry = list(carry)
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((4 * k_lanes * bh, bw)), jnp.uint32)
+
+        def u(i):
+            return _u01(bits[i * bh:(i + 1) * bh])
+
+        for lane in range(k_lanes):
+            pos, col, p_hat = candidate(u(4 * lane), u(4 * lane + 1),
+                                        u(4 * lane + 2))
+            u_g = u(4 * lane + 3)
+            # Candidate j = t*K + lane only exists while j < S.
+            real = (t * k_lanes + lane < s_slots).astype(jnp.float32)
+            w = p_hat * float(num_lights) * real
+
+            gumbel = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
+            score = jnp.where(
+                w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + gumbel, -jnp.inf)
+            o = 10 * lane
+            upd = score > carry[o + 1]
+            carry[o] = carry[o] + w
+            carry[o + 1] = jnp.where(upd, score, carry[o + 1])
+            vals = pos + col + ((w, p_hat))
+            for i, v in enumerate(vals):
+                carry[o + 2 + i] = jnp.where(upd, v, carry[o + 2 + i])
+        return tuple(carry)
+
+    state = jax.lax.fori_loop(0, sk, step, tuple(init))
 
     # Outputs: per lane [pos3, color3, w_sum, chosen_w, p_hat, big_w].
     for lane in range(k_lanes):
+        o = 10 * lane
+        w_sum_l = state[o]
+        sel = state[o + 2:o + 10]
         m = float(lane_counts[lane])
-        p_hat_l = sel[lane][7]
+        p_hat_l = sel[7]
         cond = p_hat_l > 0.0
         denom = jnp.where(cond, p_hat_l * m, 1.0)
-        big_w = jnp.where(cond, w_sum[lane] / denom, 0.0)
-        planes = sel[lane][:6] + [w_sum[lane], sel[lane][6], p_hat_l, big_w]
+        big_w = jnp.where(cond, w_sum_l / denom, 0.0)
+        planes = list(sel[:6]) + [w_sum_l, sel[6], p_hat_l, big_w]
         for i, v in enumerate(planes):
             out_refs[lane * 10 + i][...] = v
 

@@ -33,6 +33,12 @@ MAX_SMEM_TRIS = 2048
 
 _BH, _BW = 256, 256  # pixel tile per grid step
 
+TRI_UNROLL = 16  # triangles per Python-unrolled inner block
+
+
+def _blocks(n_tris: int) -> int:
+    return -(-n_tris // TRI_UNROLL)
+
 
 def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     """Möller–Trumbore of a ray tile against ONE triangle given as scalar
@@ -74,7 +80,7 @@ def _closest_kernel(n_tris: int,
     init = (jnp.full(shape, jnp.inf), jnp.full(shape, -1, jnp.int32),
             jnp.zeros(shape), jnp.zeros(shape))
 
-    def body(j, carry):
+    def tri_step(j, carry):
         best_t, best_i, best_u, best_v = carry
         v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
         e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
@@ -87,8 +93,18 @@ def _closest_kernel(n_tris: int,
                 jnp.where(ok, u, best_u),
                 jnp.where(ok, v, best_v))
 
+    # Inner TRI_UNROLL block is Python-unrolled so Mosaic pipelines the 30
+    # scalar SMEM fetches per triangle with the vector math; a fully rolled
+    # fori_loop serializes them. (Mosaic's fori_loop only supports
+    # unroll=1 or full unroll, hence the manual blocking; the wrapper pads
+    # the triangle columns to a block multiple with active=0.)
+    def body(b, carry):
+        for i in range(TRI_UNROLL):
+            carry = tri_step(b * TRI_UNROLL + i, carry)
+        return carry
+
     best_t, best_i, best_u, best_v = jax.lax.fori_loop(
-        0, n_tris, body, init)
+        0, _blocks(n_tris), body, init)
     t_ref[...] = best_t
     tri_ref[...] = best_i
     u_ref[...] = best_u
@@ -101,7 +117,7 @@ def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
     t_max = tmax_ref[...]
 
     # Mosaic cannot legalize a bool loop carry (scf.for) — carry f32 0/1.
-    def body(j, occ):
+    def tri_step(j, occ):
         v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
         e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
         e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
@@ -110,19 +126,28 @@ def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
         hit = ok & active & (t < t_max)
         return jnp.maximum(occ, hit.astype(jnp.float32))
 
-    occ = jax.lax.fori_loop(0, n_tris, body,
+    def body(b, occ):
+        for i in range(TRI_UNROLL):
+            occ = tri_step(b * TRI_UNROLL + i, occ)
+        return occ
+
+    occ = jax.lax.fori_loop(0, _blocks(n_tris), body,
                             jnp.zeros(ox.shape, jnp.float32))
     occ_ref[...] = occ > 0.5
 
 
 def _tri_columns(geometry):
-    """[10, T] f32 triangle columns for SMEM residence."""
+    """[10, T] f32 triangle columns for SMEM residence, padded to a
+    TRI_UNROLL multiple (pad rows have active = 0)."""
     cols = jnp.stack([
         geometry.v0[:, 0], geometry.v0[:, 1], geometry.v0[:, 2],
         geometry.e1[:, 0], geometry.e1[:, 1], geometry.e1[:, 2],
         geometry.e2[:, 0], geometry.e2[:, 1], geometry.e2[:, 2],
         geometry.active.astype(jnp.float32),
     ])
+    pad = _blocks(cols.shape[1]) * TRI_UNROLL - cols.shape[1]
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)))
     return cols
 
 

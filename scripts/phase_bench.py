@@ -90,6 +90,19 @@ def main():
     timed("final_shade",
           lambda kk, ctx, res: final_shade(ctx, res, geometry, features))
 
+    from romis_tpu.render.restir import render_restir_frame
+
+    def full_frame(kk, ctx, res, feats):
+        img, _ = render_restir_frame(kk, cam, geometry, lights, n_lights,
+                                     h, w, feats, prev)
+        return jnp.mean(img)
+
+    timed("full frame", lambda kk, ctx, res: full_frame(kk, ctx, res,
+                                                        features))
+    timed("full frame (no tonemap)",
+          lambda kk, ctx, res: full_frame(
+              kk, ctx, res, features.replace(enable_tone_mapping=False)))
+
 
 if __name__ == "__main__":
     main()

@@ -85,6 +85,58 @@ def test_spatial_gather_kernel_structure():
     np.testing.assert_array_equal(g[:, 1], 2.0 * g[:, 0])
 
 
+def test_ris_kernel_matches_wrs_semantics():
+    """Fused RIS kernel (TPU-interpret emulation) vs a replay of the WRS
+    bookkeeping. The interpret PRNG stub returns zeros: every candidate
+    picks light 0 at its (u=0, v=0) corner, so all slots in a lane are
+    identical — w_sum = count * w, winner = the common candidate, and
+    W = wSum / (p_hat * M)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_ris import gen_canonical_samples_pallas
+    from romis_tpu.ops.shading import target_pdf
+    from romis_tpu.ops.wrs import _lane_layout
+    from romis_tpu.scene.lights import LightListBuilder
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, k = 40, 150, 2
+    feats = Features()
+    _, ctx = random_reservoirs_and_ctx(np.random.default_rng(4), h, w, k)
+    b = LightListBuilder()
+    b.add_parallelogram((0.3, 2.0, 0.1), (0.4, 0, 0), (0, 0, 0.4),
+                        (1.0, 0.9, 0.8), (0.5, 0.5, 0.5),
+                        (0.2, 0.4, 0.6), (0.1, 0.1, 0.1))
+    b.add_point((1.0, 1.5, -0.5), (2.0, 2.0, 2.0))
+    lights = b.build()
+
+    got = gen_canonical_samples_pallas(
+        9, ctx, lights, len(b), feats, interpret=pltpu.InterpretParams())
+
+    _, lane_counts, _ = _lane_layout(feats.initial_light_samples, k)
+    pos0 = np.asarray(lights.rows[0, 0:3])  # v0 at u=v=0
+    col0 = np.asarray(lights.rows[0, 9:12])  # c0 at u=v=0
+    pos = jnp.broadcast_to(jnp.asarray(pos0)[:, None, None], (3, h, w))
+    col = jnp.broadcast_to(jnp.asarray(col0)[:, None, None], (3, h, w))
+    p_hat = np.asarray(target_pdf(ctx, pos, col, feats))  # [H, W]
+    w_cand = p_hat * len(b)
+
+    for lane in range(k):
+        cnt = float(lane_counts[lane])
+        np.testing.assert_allclose(np.asarray(got.w_sum[lane]),
+                                   cnt * w_cand, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.m[lane]),
+                                   np.full((h, w), cnt), rtol=1e-6)
+        sel_mask = (w_cand > 0)[None]
+        np.testing.assert_allclose(
+            np.asarray(got.pos[lane]) * sel_mask, np.asarray(pos) * sel_mask,
+            rtol=1e-5, atol=1e-6)
+        cond = p_hat > 0
+        expect_bw = np.where(cond, cnt * w_cand
+                             / np.where(cond, p_hat * cnt, 1.0), 0.0)
+        np.testing.assert_allclose(np.asarray(got.big_w[lane]), expect_bw,
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_spatial_pass_kernel_matches_combine_semantics():
     """Fused spatial pass (TPU-interpret emulation) vs a replay of the
     combine_biased semantics. The interpret PRNG stub returns zeros, so all
