@@ -235,15 +235,20 @@ def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:
     embree_interface.cpp:76-81) with ONE packed attr-row gather per pixel
     (scene.pack_attr_rows layout). Shading normals are normalized (deviation
     from the reference's raw interpolation — documented in ops/shading.py)."""
+    from .pallas_rows import gather_rows
+
     valid = jnp.isfinite(t)
     idx = jnp.maximum(tri, 0)  # [H, W]
-    rows = geometry.attr_rows[idx]  # [H, W, 24]
+    # Planes-first packed gather [24, H, W]: one fused row fetch per pixel
+    # (ops/pallas_rows.py) — XLA's [H, W, 24] gather pads 24 → 128 lanes
+    # (a ~1GB temp at 1080p) and is HBM-latency-bound.
+    rows = gather_rows(geometry.attr_rows, idx)
 
     def vec3(i):
-        return jnp.moveaxis(rows[..., i:i + 3], -1, -3)
+        return rows[i:i + 3]
 
     def vec2(i):
-        return jnp.moveaxis(rows[..., i:i + 2], -1, -3)
+        return rows[i:i + 2]
 
     bw = e(1.0 - u - v)  # [1, H, W]
     bu = e(u)
@@ -251,8 +256,8 @@ def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:
     normal = bw * vec3(0) + bu * vec3(3) + bv * vec3(6)
     normal = normal / jnp.maximum(e(vnorm(normal)), 1e-20)
     uv = bw * vec2(9) + bu * vec2(11) + bv * vec2(13)
-    mat_id = rows[..., 15].astype(jnp.int32)
-    geom_id = rows[..., 16].astype(jnp.int32)
+    mat_id = rows[15].astype(jnp.int32)
+    geom_id = rows[16].astype(jnp.int32)
     return HitRecord(
         valid=valid,
         t=t,
@@ -269,15 +274,16 @@ def make_shade_ctx(rays: Rays, hits: HitRecord, geometry,
     """Bundle everything the target PDF / shading needs about the receiver.
     One packed mat-row gather (scene.pack_mat_rows layout) + optional
     texture overlay."""
+    from .pallas_rows import gather_rows
     from .shading import acquire_texel
 
     safe_t = jnp.where(hits.valid, hits.t, 0.0)
     position = rays.origin + e(safe_t) * rays.direction
-    rows = geometry.mat_rows[hits.mat_id]  # [H, W, 8]
-    kd = jnp.moveaxis(rows[..., 0:3], -1, -3)
-    ks = jnp.moveaxis(rows[..., 3:6], -1, -3)
-    shininess = rows[..., 6]
-    tex_id = rows[..., 7].astype(jnp.int32)
+    rows = gather_rows(geometry.mat_rows, hits.mat_id)  # [8, H, W]
+    kd = rows[0:3]
+    ks = rows[3:6]
+    shininess = rows[6]
+    tex_id = rows[7].astype(jnp.int32)
     if features.enable_texture_mapping and geometry.tex_data.shape[1] > 1:
         texel = acquire_texel(geometry.tex_data, geometry.tex_size,
                               tex_id, hits.uv)

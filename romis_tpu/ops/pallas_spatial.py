@@ -188,6 +188,109 @@ def spatial_neighbour_gather_pallas(
     return out[:, :, :h, :w]
 
 
+def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
+                          offs_ref, planes_hbm, out_ref, scratch, sem):
+    """Gather every packed plane at EXACT per-pixel offsets (dy, dx) given
+    as inputs — out[n, c, i, j] = planes[c, i + dy[n,i,j], j + dx[n,i,j]]
+    (pre-padded, so borders clamp). Serves the fixed per-pixel neighbour
+    lists of R-MIS / R-OMIS (render/neighbours.py), whose offsets are
+    similarity-chosen rather than drawn in-kernel.
+
+    Unlike _gather_kernel's factorised two-step (which needs dx shared per
+    column), both offsets here vary per pixel: for each row offset d the
+    tile is statically rolled by d, lane-gathered with the per-pixel dx,
+    and the result selected where dy == d."""
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        planes_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    for n in range(n_nbr):
+        dy = offs_ref[n]
+        dx = offs_ref[n_nbr + n]
+        lane_idx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+                    + radius + dx)
+        lane_lo = jnp.minimum(lane_idx, bw - 1)
+        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
+        use_lo = lane_idx < bw
+        row_masks = [dy == d for d in range(-radius, radius + 1)]
+
+        def resolve(tile_c):
+            out = jnp.zeros((bh, bw), jnp.float32)
+            for d in range(-radius, radius + 1):
+                rows_d = pltpu.roll(tile_c, shift=(he - radius - d) % he,
+                                    axis=0)[:bh]
+                t_lo = rows_d[:, :bw]
+                t_hi = pltpu.roll(rows_d, shift=bw, axis=1)[:, :bw]
+                ld = jnp.where(
+                    use_lo,
+                    jnp.take_along_axis(t_lo, lane_lo, axis=1),
+                    jnp.take_along_axis(t_hi, lane_hi, axis=1))
+                out = jnp.where(row_masks[d + radius], ld, out)
+            return out
+
+        def body(c, _):
+            out_ref[n, c] = resolve(scratch[c])
+            return 0
+
+        jax.lax.fori_loop(0, n_planes, body, 0)
+
+
+def halo_offset_gather_pallas(
+    planes: jnp.ndarray,  # [C, H, W] packed per-pixel state
+    dy: jnp.ndarray,  # [D, H, W] int32 row offsets in [-radius, radius]
+    dx: jnp.ndarray,  # [D, H, W] int32 col offsets in [-radius, radius]
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-offset halo gather → [D, C, H, W]. Offsets must satisfy
+    |dy|,|dx| <= radius and produce in-bounds indices (the caller's
+    neighbour selection already clamps to the screen)."""
+    if radius > 64:
+        raise ValueError("halo offset gather supports radius <= 64")
+    c, h, w = planes.shape
+    d_n = dy.shape[0]
+    align_h = (-h) % _BH
+    align_w = (-w) % _BW
+    he, we = _halo_window(radius)
+    padded = jnp.pad(
+        planes,
+        ((0, 0),
+         (radius, align_h + (he - _BH - radius)),
+         (radius, align_w + (we - _BW - radius))),
+        mode="edge")
+    offs = jnp.concatenate([dy, dx], axis=0).astype(jnp.int32)
+    offs = jnp.pad(offs, ((0, 0), (0, align_h), (0, align_w)))
+    hp, wp = h + align_h, w + align_w
+    grid = (hp // _BH, wp // _BW)
+
+    out = pl.pallas_call(
+        functools.partial(_offset_gather_kernel, d_n, radius, c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * d_n, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
+        ],
+        out_specs=pl.BlockSpec((d_n, c, _BH, _BW), lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_n, c, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(offs, padded)
+    return out[:, :, :h, :w]
+
+
 def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
                  normal_cos: float, seed_ref, planes_hbm, out_ref, scratch,
                  sem):

@@ -31,10 +31,37 @@ PH_ITER = 12
 FLT_MIN = 1.17549435e-38  # matches the reference's FLT_MIN denominators
 
 
-def _gather_neighbourhood(tree, ny, nx):
+def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
     """Gather a pixel-field pytree at coords [D1, H, W] → fields
-    [D1, ..., H, W]."""
+    [D1, ..., H, W]. With ``fused`` (TPU), the tree is packed into planes
+    and fetched by the exact-offset halo kernel
+    (ops/pallas_spatial.halo_offset_gather_pallas) instead of XLA's
+    HBM-latency-bound gather; ``radius`` bounds |index - pixel|."""
+    if fused and radius is not None and jax.default_backend() == "tpu":
+        return _gather_neighbourhood_fused(tree, ny, nx, radius)
     return jax.tree.map(lambda a: gather_image(a, ny, nx), tree)
+
+
+def _gather_neighbourhood_fused(tree, ny, nx, radius):
+    from ..ops.pallas_spatial import halo_offset_gather_pallas
+
+    leaves, treedef = jax.tree.flatten(tree)
+    h, w = ny.shape[-2:]
+    flats = [l.reshape((-1, h, w)) for l in leaves]
+    packed = jnp.concatenate([f.astype(jnp.float32) for f in flats], axis=0)
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    dy = ny.astype(jnp.int32) - rows
+    dx = nx.astype(jnp.int32) - cols
+    g = halo_offset_gather_pallas(packed, dy, dx, radius)  # [D, C, H, W]
+    out, pos = [], 0
+    for leaf, flat in zip(leaves, flats):
+        cnt = flat.shape[0]
+        part = g[:, pos:pos + cnt].reshape((g.shape[0],) + leaf.shape)
+        # bool (valid) and int32 (geom_id) round-trip exactly through f32.
+        out.append(part.astype(leaf.dtype))
+        pos += cnt
+    return jax.tree.unflatten(treedef, out)
 
 
 def balance_heuristic_weights(
@@ -72,14 +99,17 @@ def render_rmis(
     ny, nx = select_neighbour_indices(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
     )  # [D1, H, W] each
-    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx)
+    fused = (features.fused_spatial_gather
+             and getattr(geometry, "use_pallas", False))
+    radius = features.spatial_resample_radius
+    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
 
     equal_w = 1.0 / d1
 
     def iteration(acc, it_key):
         res = gen_canonical_samples(it_key, ctx, lights, num_lights,
                                     geometry, features)
-        nb = _gather_neighbourhood(res, ny, nx)  # [D1, K, ..., H, W]
+        nb = _gather_neighbourhood(res, ny, nx, radius, fused)  # [D1, K, ...]
 
         # Shading + visibility of every neighbourhood sample at the receiver.
         shade = phong_shade(ctx, nb.pos, nb.color, features)  # [D1,K,3,H,W]

@@ -94,7 +94,11 @@ def render_romis(
     ny, nx = select_neighbour_indices(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
     )
-    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx)  # fields [D1, ..., H, W]
+    fused = (features.fused_spatial_gather
+             and getattr(geometry, "use_pallas", False))
+    radius = features.spatial_resample_radius
+    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,
+                                     fused)  # fields [D1, ..., H, W]
 
     a_mat = jnp.zeros((d1, d1, height, width))
     b_vec = jnp.zeros((3, d1, height, width))
@@ -120,7 +124,8 @@ def render_romis(
     for iteration in range(features.max_iterations_mis):
         res = gen_canonical_samples(it_keys[iteration], ctx, lights,
                                     num_lights, geometry, features)
-        nb = _gather_neighbourhood(res, ny, nx)  # fields [D1, K, ..., H, W]
+        nb = _gather_neighbourhood(res, ny, nx, radius,
+                                   fused)  # fields [D1, K, ..., H, W]
 
         # ===== progressive: refresh α estimates (render.cpp:161-165) =====
         if (features.use_progressive_romis and iteration >= 1

@@ -51,7 +51,14 @@ def main():
     rays, ctx, res = setup(key)
     jax.block_until_ready(res)
 
+    # PHASES=substr1,substr2 runs only matching rows (each TPU dispatch can
+    # sit behind a ~10 min tunnel window; subsets keep runs short).
+    only = os.environ.get("PHASES")
+    only = [s.strip() for s in only.split(",")] if only else None
+
     def timed(name, body):
+        if only is not None and not any(s in name for s in only):
+            return
         # ctx/res are jit ARGUMENTS (not closure constants): closure arrays
         # get baked into the serialized HLO and blow the tunnel's compile
         # payload limit at 1080p.
@@ -74,6 +81,23 @@ def main():
     timed("trace_primary",
           lambda kk, ctx, res: trace_primary(generate_rays(cam, h, w),
                                              geometry, features)[1].depth_t)
+
+    def trace_full_ctx(kk, ctx, res):
+        _, c2 = trace_primary(generate_rays(cam, h, w), geometry, features)
+        return (jnp.sum(c2.position) + jnp.sum(c2.normal) + jnp.sum(c2.kd)
+                + jnp.sum(c2.ks) + jnp.sum(c2.shininess)
+                + jnp.sum(c2.depth_t) + jnp.sum(c2.view_origin))
+
+    timed("trace+full ctx", trace_full_ctx)
+
+    def trace_ris(kk, ctx, res):
+        _, c2 = trace_primary(generate_rays(cam, h, w), geometry, features)
+        r2 = gen_canonical_samples(kk, c2, lights, n_lights, geometry,
+                                   features)
+        return (jnp.sum(r2.w_sum) + jnp.sum(r2.pos) + jnp.sum(r2.color)
+                + jnp.sum(r2.big_w) + jnp.sum(r2.m))
+
+    timed("trace+ctx+RIS", trace_ris)
     timed("gen_canonical (RIS)",
           lambda kk, ctx, res: gen_canonical_samples(
               kk, ctx, lights, n_lights, geometry, features).w_sum)
@@ -90,6 +114,24 @@ def main():
     timed("final_shade",
           lambda kk, ctx, res: final_shade(ctx, res, geometry, features))
 
+    def final_shade_kkdep(kk, ctx, res):
+        # Perturb the sample positions with the scanned key so XLA cannot
+        # hoist the (otherwise loop-invariant) shadow trace out of the
+        # timing scan — this row is the TRUE per-rep cost.
+        jitter = 1e-6 * jax.random.normal(kk, res.pos.shape)
+        res = res.replace(pos=res.pos + jitter)
+        return final_shade(ctx, res, geometry, features)
+
+    timed("final_shade kkdep", final_shade_kkdep)
+
+    def trace_kkdep(kk, ctx, res):
+        rays = generate_rays(cam, h, w)
+        rays = rays.replace(
+            origin=rays.origin + 1e-7 * jax.random.normal(kk, (3, 1, 1)))
+        return trace_primary(rays, geometry, features)[1].depth_t
+
+    timed("trace kkdep", trace_kkdep)
+
     from romis_tpu.render.restir import render_restir_frame
 
     def full_frame(kk, ctx, res, feats):
@@ -99,9 +141,16 @@ def main():
 
     timed("full frame", lambda kk, ctx, res: full_frame(kk, ctx, res,
                                                         features))
-    timed("full frame (no tonemap)",
+    timed("frame no spatial",
           lambda kk, ctx, res: full_frame(
-              kk, ctx, res, features.replace(enable_tone_mapping=False)))
+              kk, ctx, res, features.replace(spatial_reuse=False)))
+    timed("frame no temporal",
+          lambda kk, ctx, res: full_frame(
+              kk, ctx, res, features.replace(temporal_reuse=False)))
+    timed("frame RIS+shade only",
+          lambda kk, ctx, res: full_frame(
+              kk, ctx, res, features.replace(spatial_reuse=False,
+                                             temporal_reuse=False)))
 
 
 if __name__ == "__main__":

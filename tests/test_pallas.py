@@ -137,6 +137,60 @@ def test_ris_kernel_matches_wrs_semantics():
                                    rtol=2e-3, atol=1e-4)
 
 
+def test_rows_gather_matches_and_grads():
+    """Planes-first packed row gather: pallas (interpret) == XLA == direct,
+    and the custom_vjp backward scatter-adds into the table."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.ops.pallas_rows import (
+        _rows_gather_pallas, _rows_gather_xla, gather_rows,
+    )
+
+    rng = np.random.default_rng(8)
+    t, c, h, w = 200, 7, 40, 150
+    table = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, t, (h, w)).astype(np.int32))
+
+    direct = np.moveaxis(np.asarray(table)[np.asarray(idx)], -1, 0)
+    np.testing.assert_array_equal(np.asarray(_rows_gather_xla(table, idx)),
+                                  direct)
+    np.testing.assert_array_equal(
+        np.asarray(_rows_gather_pallas(table, idx,
+                                       interpret=pltpu.InterpretParams())),
+        direct)
+
+    # Gradient: d/d_table of sum(weights * gather) is a weighted scatter.
+    weights = jnp.asarray(rng.normal(size=(c, h, w)).astype(np.float32))
+    g = jax.grad(lambda tb: jnp.sum(gather_rows(tb, idx) * weights))(table)
+    expect = np.zeros((t, c), np.float32)
+    np.add.at(expect, np.asarray(idx).ravel(),
+              np.asarray(weights).reshape(c, -1).T)
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_offset_gather_exact():
+    """Exact-offset halo gather (R-MIS/R-OMIS neighbour fetch) vs direct
+    indexing — fully deterministic, offsets are inputs."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.ops.pallas_spatial import halo_offset_gather_pallas
+
+    h, w, r, d_n, c = 48, 180, 5, 3, 4
+    rng = np.random.default_rng(6)
+    planes = rng.normal(size=(c, h, w)).astype(np.float32)
+    ys = np.arange(h)[None, :, None]
+    xs = np.arange(w)[None, None, :]
+    # In-bounds offsets within the box (what neighbour selection produces).
+    ny = np.clip(ys + rng.integers(-r, r + 1, (d_n, h, w)), 0, h - 1)
+    nx = np.clip(xs + rng.integers(-r, r + 1, (d_n, h, w)), 0, w - 1)
+    dy = (ny - ys).astype(np.int32)
+    dx = (nx - xs).astype(np.int32)
+
+    got = np.asarray(halo_offset_gather_pallas(
+        jnp.asarray(planes), jnp.asarray(dy), jnp.asarray(dx), r,
+        interpret=pltpu.InterpretParams()))
+    expect = planes[:, ny, nx].transpose(1, 0, 2, 3)  # [D, C, H, W]
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_spatial_pass_kernel_matches_combine_semantics():
     """Fused spatial pass (TPU-interpret emulation) vs a replay of the
     combine_biased semantics. The interpret PRNG stub returns zeros, so all
