@@ -72,9 +72,14 @@ def apply_params(geometry, lights, params: SceneParams):
     )
     from ..scene.lights import _pack_rows_jnp
 
-    lights = lights.replace(rows=_pack_rows_jnp(
-        lights.v0, lights.edge01, lights.edge02, lights.c0, lights.c1,
-        lights.c2, lights.c3))
+    # const_cols describes the ORIGINAL host arrays — traced params may move
+    # any column, so drop the constants (the fused RIS kernel falls back to
+    # gathering all 21).
+    lights = lights.replace(
+        rows=_pack_rows_jnp(
+            lights.v0, lights.edge01, lights.edge02, lights.c0, lights.c1,
+            lights.c2, lights.c3),
+        const_cols=None)
     return geometry, lights
 
 

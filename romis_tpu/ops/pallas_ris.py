@@ -36,7 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 
-_BH, _BW = 32, 128  # pixel tile (bh rows of one-hot matmuls per slot)
+# Pixel tile: ONE vreg (8, 128). The WRS step loop carries 10 planes per
+# reservoir lane — at (32, 128) that is 80 vregs of loop carry, which
+# spills to VMEM every step; at (8, 128) the carry is 20 vregs and stays
+# in registers (measured 23.3 → see commit for the number).
+_BH, _BW = 8, 128
 
 ZERO_EPSILON = 1e-5
 
@@ -100,7 +104,7 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
-                seed_ref, ctx_ref, table_t_ref, *out_refs):
+                const_cols, seed_ref, ctx_ref, table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
 
@@ -118,29 +122,39 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
     }
 
     # Light components fetched with windowed lane dynamic_gathers: Mosaic's
-    # gather indexes within one 128-lane vreg, so each of the 21 used
-    # components is kept as n_win = L_pad/128 broadcast windows [bh, 128]
-    # and the fetch selects by index range. (An earlier one-hot MXU fetch
-    # was ~4x slower: M = 24 output rows uses 24/128 of the systolic array.)
+    # gather indexes within one 128-lane vreg, so each VARYING component is
+    # kept as n_win = L_pad/128 broadcast windows [bh, 128] and the fetch
+    # selects by index range. (An earlier one-hot MXU fetch was ~4x slower:
+    # M = 24 output rows uses 24/128 of the systolic array.) Components that
+    # are identical for every light (const_cols, host-detected at scene
+    # build — e.g. the nightclub grid shares edges + colors, leaving only 3
+    # varying of 21) are baked in as Python-float scalars: the fetch is the
+    # dominant cost of this kernel.
+    varying = [c for c in range(21) if const_cols is None
+               or const_cols[c] is None]
     n_win = l_pad // 128
     # NB: materialize the sublane broadcast with an add — take_along_axis
     # of a lazy (1, 128) broadcast lowers as a >2D gather, which Mosaic
     # rejects ("Only 2D gather is supported").
     zeros_bh = jnp.zeros((bh, 128), jnp.float32)
-    tab_wins = [
-        [table_t_ref[c:c + 1, 128 * v:128 * (v + 1)] + zeros_bh
-         for v in range(n_win)]
-        for c in range(21)
-    ]
+    tab_wins = {
+        c: [table_t_ref[c:c + 1, 128 * v:128 * (v + 1)] + zeros_bh
+            for v in range(n_win)]
+        for c in varying
+    }
 
     def fetch_comps(idx):
-        comps = [jnp.zeros((bh, bw), jnp.float32) for _ in range(21)]
+        comps = {c: jnp.zeros((bh, bw), jnp.float32) for c in varying}
         for v in range(n_win):
             idx_local = jnp.clip(idx - 128 * v, 0, 127)
             in_w = (idx >= 128 * v) & (idx < 128 * (v + 1))
-            for c in range(21):
+            for c in varying:
                 g = jnp.take_along_axis(tab_wins[c][v], idx_local, axis=1)
                 comps[c] = jnp.where(in_w, g, comps[c])
+        if const_cols is not None:
+            for c in range(21):
+                if const_cols[c] is not None:
+                    comps[c] = const_cols[c]
         return comps
 
     def candidate(u_idx, u1, u2):
@@ -157,13 +171,19 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         lx = plane(0) + u1 * plane(3) + u2 * plane(6)
         ly = plane(1) + u1 * plane(4) + u2 * plane(7)
         lz = plane(2) + u1 * plane(5) + u2 * plane(8)
-        # color = bilerp(c0..c3; u1, u2)
+        # color = bilerp(c0..c3; u1, u2). When all four corners are the SAME
+        # baked constant (single-color lights — the nightclub grid), the
+        # bilerp is that constant: drop the 9 vector FMAs per channel.
         one_m_u = 1.0 - u1
         one_m_v = 1.0 - u2
 
         def bilerp(a, b, c, d):
-            return ((plane(a) * one_m_u + plane(b) * u1) * one_m_v
-                    + (plane(c) * one_m_u + plane(d) * u1) * u2)
+            corners = [plane(x) for x in (a, b, c, d)]
+            if (all(isinstance(x, float) for x in corners)
+                    and len(set(corners)) == 1):
+                return corners[0]
+            return ((corners[0] * one_m_u + corners[1] * u1) * one_m_v
+                    + (corners[2] * one_m_u + corners[3] * u1) * u2)
 
         cr = bilerp(9, 12, 15, 18)
         cg = bilerp(10, 13, 16, 19)
@@ -199,9 +219,11 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
             real = (t * k_lanes + lane < s_slots).astype(jnp.float32)
             w = p_hat * float(num_lights) * real
 
-            gumbel = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
-            score = jnp.where(
-                w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + gumbel, -jnp.inf)
+            # Exponential race (one log, vs Gumbel-max's two): argmax of
+            # w / E with E ~ Exp(1) selects candidate i w.p. w_i / Σw —
+            # the same distribution (A-ExpJ / exponential clocks).
+            e_clock = -jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37
+            score = jnp.where(w > 0.0, w / e_clock, -jnp.inf)
             o = 10 * lane
             upd = score > carry[o + 1]
             carry[o] = carry[o] + w
@@ -264,9 +286,11 @@ def gen_canonical_samples_pallas(
     out_specs = tuple(
         pl.BlockSpec((_BH, _BW), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM) for _ in range(10 * k))
+    const_cols = getattr(lights, "const_cols", None)
     outs = pl.pallas_call(
         functools.partial(_ris_kernel, s, k, num_lights,
-                          tuple(float(c) for c in lane_counts)),
+                          tuple(float(c) for c in lane_counts),
+                          const_cols),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]

@@ -31,7 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 # SMEM triangle budget: 9 f32 columns + active mask.
 MAX_SMEM_TRIS = 2048
 
-_BH, _BW = 256, 256  # pixel tile per grid step
+_BH, _BW = 32, 256  # pixel tile per grid step (closest hit)
+# Any-hit tiles are smaller: shadow-ray bundles (surface → sampled lights)
+# are less coherent than primary rays, and block culling is per-tile — a
+# tighter tile skips far more triangle blocks.
+_BH_ANY, _BW_ANY = 32, 256
 
 TRI_UNROLL = 16  # triangles per Python-unrolled inner block
 
@@ -68,17 +72,53 @@ def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     return t, u, v, ok
 
 
+def _inv_dir(dx, dy, dz):
+    """Safe per-component reciprocal for slab tests: zero components become
+    a huge finite slope (±1e20) so box-plane products stay NaN-free."""
+    def inv(c):
+        mag = jnp.maximum(jnp.abs(c), 1e-20)
+        return jnp.where(c < 0.0, -1.0, 1.0) / mag
+
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _slab_test(aabb_ref, b, ox, oy, oz, ix, iy, iz):
+    """Ray-tile vs block-AABB slab test → (t_near, t_far) tiles. The AABB
+    columns live in SMEM [6, B]: (minx, miny, minz, maxx, maxy, maxz),
+    ε-inflated by the wrapper; empty blocks are inverted ±1e30 sentinels."""
+    tx0 = (aabb_ref[0, b] - ox) * ix
+    tx1 = (aabb_ref[3, b] - ox) * ix
+    ty0 = (aabb_ref[1, b] - oy) * iy
+    ty1 = (aabb_ref[4, b] - oy) * iy
+    tz0 = (aabb_ref[2, b] - oz) * iz
+    tz1 = (aabb_ref[5, b] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                 jnp.minimum(ty0, ty1)),
+                     jnp.minimum(tz0, tz1))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                 jnp.maximum(ty0, ty1)),
+                     jnp.maximum(tz0, tz1))
+    return tn, tf
+
+
 def _closest_kernel(n_tris: int,
-                    trix_ref, o_ref, d_ref,
+                    trix_ref, aabb_ref, o_ref, d_ref,
                     t_ref, tri_ref, u_ref, v_ref):
     """trix_ref: SMEM [10, T] triangle columns (v0, e1, e2 xyz + active).
-    o_ref/d_ref: VMEM [3, BH, BW]. Outputs [BH, BW]."""
+    aabb_ref: SMEM [6, B] per-TRI_UNROLL-block bounds. o_ref/d_ref: VMEM
+    [3, BH, BW]. Outputs [BH, BW], also used as the running-best
+    accumulators so each triangle block can be SKIPPED for the whole tile
+    (pl.when) when no ray's slab interval beats its current best — a
+    tile-coherent two-level hierarchy in place of a divergent BVH walk."""
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    ix, iy, iz = _inv_dir(dx, dy, dz)
 
     shape = ox.shape
-    init = (jnp.full(shape, jnp.inf), jnp.full(shape, -1, jnp.int32),
-            jnp.zeros(shape), jnp.zeros(shape))
+    t_ref[...] = jnp.full(shape, jnp.inf)
+    tri_ref[...] = jnp.full(shape, -1, jnp.int32)
+    u_ref[...] = jnp.zeros(shape)
+    v_ref[...] = jnp.zeros(shape)
 
     def tri_step(j, carry):
         best_t, best_i, best_u, best_v = carry
@@ -98,25 +138,36 @@ def _closest_kernel(n_tris: int,
     # fori_loop serializes them. (Mosaic's fori_loop only supports
     # unroll=1 or full unroll, hence the manual blocking; the wrapper pads
     # the triangle columns to a block multiple with active=0.)
-    def body(b, carry):
-        for i in range(TRI_UNROLL):
-            carry = tri_step(b * TRI_UNROLL + i, carry)
-        return carry
+    def body(b, _):
+        tn, tf = _slab_test(aabb_ref, b, ox, oy, oz, ix, iy, iz)
+        live = (tf >= tn) & (tf > 0.0) & (tn < t_ref[...])
 
-    best_t, best_i, best_u, best_v = jax.lax.fori_loop(
-        0, _blocks(n_tris), body, init)
-    t_ref[...] = best_t
-    tri_ref[...] = best_i
-    u_ref[...] = best_u
-    v_ref[...] = best_v
+        @pl.when(jnp.any(live))
+        def _process():
+            carry = (t_ref[...], tri_ref[...], u_ref[...], v_ref[...])
+            for i in range(TRI_UNROLL):
+                carry = tri_step(b * TRI_UNROLL + i, carry)
+            t_ref[...], tri_ref[...], u_ref[...], v_ref[...] = carry
+
+        return 0
+
+    jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
 
 
-def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
+def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
+                occ_ref, occf_ref):
+    """Occlusion with block culling: a triangle block is skipped when no
+    still-unoccluded ray's [0, t_max] segment overlaps its AABB — and the
+    whole tail of blocks dies once every ray is occluded. occf_ref is a
+    VMEM f32 scratch accumulator (Mosaic cannot carry bools through
+    scf.for; the bool output is written once at the end)."""
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    ix, iy, iz = _inv_dir(dx, dy, dz)
     t_max = tmax_ref[...]
 
-    # Mosaic cannot legalize a bool loop carry (scf.for) — carry f32 0/1.
+    occf_ref[...] = jnp.zeros(ox.shape, jnp.float32)
+
     def tri_step(j, occ):
         v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
         e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
@@ -126,14 +177,22 @@ def _any_kernel(n_tris: int, trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
         hit = ok & active & (t < t_max)
         return jnp.maximum(occ, hit.astype(jnp.float32))
 
-    def body(b, occ):
-        for i in range(TRI_UNROLL):
-            occ = tri_step(b * TRI_UNROLL + i, occ)
-        return occ
+    def body(b, _):
+        tn, tf = _slab_test(aabb_ref, b, ox, oy, oz, ix, iy, iz)
+        occ = occf_ref[...]
+        live = (tf >= tn) & (tf > 0.0) & (tn < t_max) & (occ < 0.5)
 
-    occ = jax.lax.fori_loop(0, _blocks(n_tris), body,
-                            jnp.zeros(ox.shape, jnp.float32))
-    occ_ref[...] = occ > 0.5
+        @pl.when(jnp.any(live))
+        def _process():
+            acc = occ
+            for i in range(TRI_UNROLL):
+                acc = tri_step(b * TRI_UNROLL + i, acc)
+            occf_ref[...] = acc
+
+        return 0
+
+    jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
+    occ_ref[...] = occf_ref[...] > 0.5
 
 
 def _tri_columns(geometry):
@@ -149,6 +208,23 @@ def _tri_columns(geometry):
     if pad:
         cols = jnp.pad(cols, ((0, 0), (0, pad)))
     return cols
+
+
+def _block_aabbs(geometry, trix: jnp.ndarray) -> jnp.ndarray:
+    """[6, B] ε-inflated AABBs of each TRI_UNROLL-sized triangle block
+    (min xyz, max xyz). Inactive/padding triangles contribute inverted
+    ±1e30 sentinel boxes, so all-padding blocks never pass the slab test."""
+    v0 = trix[0:3].T  # [T_pad, 3] (padded rows are zero)
+    e1 = trix[3:6].T
+    e2 = trix[6:9].T
+    act = trix[9][:, None] > 0.0
+    pts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)  # [T, 3corners, 3]
+    lo = jnp.where(act, pts.min(axis=1), 1e30)
+    hi = jnp.where(act, pts.max(axis=1), -1e30)
+    b = trix.shape[1] // TRI_UNROLL
+    blo = lo.reshape(b, TRI_UNROLL, 3).min(axis=1) - 1e-4
+    bhi = hi.reshape(b, TRI_UNROLL, 3).max(axis=1) + 1e-4
+    return jnp.concatenate([blo, bhi], axis=1).T  # [6, B]
 
 
 def _pad_hw(a, bh, bw):
@@ -181,6 +257,7 @@ def pallas_closest(rays, geometry, interpret: bool = False):
     hp, wp = o.shape[-2:]
 
     trix = _tri_columns(geometry)
+    aabbs = _block_aabbs(geometry, trix)
     n_tris = geometry.num_tris
 
     grid = (hp // bh, wp // bw)
@@ -193,6 +270,7 @@ def pallas_closest(rays, geometry, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # triangles, whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # block AABBs
             ray_spec, ray_spec,
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
@@ -203,7 +281,7 @@ def pallas_closest(rays, geometry, interpret: bool = False):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         interpret=interpret,
-    )(trix, o, d)
+    )(trix, aabbs, o, d)
     return t[:h, :w], tri[:h, :w], u[:h, :w], v[:h, :w]
 
 
@@ -224,31 +302,35 @@ def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
     d, _, _ = _pad_hw(d, 8, 128)
     tm, _, _ = _pad_hw(tm, 8, 128)
     hp, wp = o.shape[-2:]
-    bh, bw = min(_BH, hp), min(_BW, wp)
+    bh, bw = min(_BH_ANY, hp), min(_BW_ANY, wp)
     o, _, _ = _pad_hw(o, bh, bw)
     d, _, _ = _pad_hw(d, bh, bw)
     tm, _, _ = _pad_hw(tm, bh, bw)
     hp, wp = o.shape[-2:]
 
     trix = _tri_columns(geometry)
+    aabbs = _block_aabbs(geometry, trix)
     grid = (s, hp // bh, wp // bw)
     ray_spec = pl.BlockSpec((1, 3, bh, bw), lambda si, i, j: (si, 0, i, j),
                             memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((1, bh, bw), lambda si, i, j: (si, i, j),
                            memory_space=pltpu.VMEM)
 
-    def kernel(trix_ref, o_ref, d_ref, tmax_ref, occ_ref):
-        _any_kernel(geometry.num_tris, trix_ref, o_ref.at[0], d_ref.at[0],
-                    tmax_ref.at[0], occ_ref.at[0])
+    def kernel(trix_ref, aabb_ref, o_ref, d_ref, tmax_ref, occ_ref,
+               occf_ref):
+        _any_kernel(geometry.num_tris, trix_ref, aabb_ref, o_ref.at[0],
+                    d_ref.at[0], tmax_ref.at[0], occ_ref.at[0], occf_ref)
 
     occ = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), ray_spec, ray_spec,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), ray_spec, ray_spec,
                   sc_spec],
         out_specs=sc_spec,
         out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.bool_),
+        scratch_shapes=[pltpu.VMEM((bh, bw), jnp.float32)],
         interpret=interpret,
-    )(trix, o, d, tm)
+    )(trix, aabbs, o, d, tm)
     occ = occ[:, :hh, :ww]
     return occ.reshape(lead + (h, w)) if lead else occ[0]

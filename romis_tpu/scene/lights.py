@@ -42,6 +42,15 @@ class LightTable:
     # ONE row per candidate index: measured on TPU, 21 per-component gathers
     # run at ~6M indices/s while one 24-float row-gather runs ~57x faster.
     rows: jnp.ndarray
+    # Host-detected constant columns of the 21-float row: a 21-tuple whose
+    # entries are the shared float value where the column is identical for
+    # EVERY light, else None. Regular light grids (e.g. the nightclub's 512
+    # lights, scene.cpp:5-28) share edges + colors, so only v0 varies — the
+    # fused RIS kernel (ops/pallas_ris.py) bakes constants as scalars and
+    # gathers only varying columns (the fetch dominates its runtime).
+    # None = unknown/traced (apply_params clears it when differentiating
+    # through light parameters).
+    const_cols: tuple | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n(self) -> int:
@@ -100,16 +109,24 @@ class LightListBuilder:
                 c0=jnp.asarray(z), c1=jnp.asarray(z), c2=jnp.asarray(z),
                 c3=jnp.asarray(z), kind=jnp.zeros((1,), jnp.int32),
                 rows=_pack_rows(z, z, z, z, z, z, z),
+                const_cols=tuple(0.0 for _ in range(21)),
             )
         cols = list(zip(*self.rows))
         arrs = [np.asarray(c, np.float32).reshape(-1, 3) for c in cols[:7]]
         kind = np.asarray(cols[7], np.int32)
+        flat = np.concatenate(arrs, axis=1)  # [L, 21]
+        const_cols = tuple(
+            float(flat[0, c]) if bool((flat[:, c] == flat[0, c]).all())
+            else None
+            for c in range(21)
+        )
         return LightTable(
             v0=jnp.asarray(arrs[0]), edge01=jnp.asarray(arrs[1]),
             edge02=jnp.asarray(arrs[2]), c0=jnp.asarray(arrs[3]),
             c1=jnp.asarray(arrs[4]), c2=jnp.asarray(arrs[5]),
             c3=jnp.asarray(arrs[6]), kind=jnp.asarray(kind),
             rows=_pack_rows(*arrs),
+            const_cols=const_cols,
         )
 
     def __len__(self):

@@ -287,3 +287,35 @@ def test_custom_vjp_matches_autodiff_gradients():
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
                                    atol=1e-5)
+
+
+def test_ris_const_cols_bitexact():
+    """Baking host-detected constant light columns into the RIS kernel
+    (LightTable.const_cols) must not change a single bit vs gathering all
+    21 columns: the constants ARE the table values. Uses a regular grid
+    (shared edges/colors — only v0 varies, the nightclub case)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_ris import gen_canonical_samples_pallas
+    from romis_tpu.scene.lights import LightListBuilder, regular_light_grid
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, k = 24, 130, 2
+    feats = Features()
+    _, ctx = random_reservoirs_and_ctx(np.random.default_rng(7), h, w, k)
+    b = LightListBuilder()
+    regular_light_grid(b, (-2.0, 3.0, -2.0), (12, 12), (0.2, 0, 0),
+                       (0, 0, 0.2), (1.0, 0.8, 0.6))
+    lights = b.build()
+    assert lights.const_cols is not None
+    # Only v0.x / v0.z vary (the grid is planar: v0.y, edges, colors shared).
+    assert [c is None for c in lights.const_cols] == (
+        [True, False, True] + [False] * 18)
+
+    baked = gen_canonical_samples_pallas(
+        5, ctx, lights, len(b), feats, interpret=pltpu.InterpretParams())
+    full = gen_canonical_samples_pallas(
+        5, ctx, lights.replace(const_cols=None), len(b), feats,
+        interpret=pltpu.InterpretParams())
+    for a, c in zip(jax.tree.leaves(baked), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
