@@ -79,7 +79,7 @@ def apply_params(geometry, lights, params: SceneParams):
         rows=_pack_rows_jnp(
             lights.v0, lights.edge01, lights.edge02, lights.c0, lights.c1,
             lights.c2, lights.c3),
-        const_cols=None)
+        const_cols=None, affine_segments=None)
     return geometry, lights
 
 

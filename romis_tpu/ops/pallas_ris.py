@@ -70,9 +70,9 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
     px, py, pz = cx["px"], cx["py"], cx["pz"]
     nx, ny, nz = cx["nx"], cx["ny"], cx["nz"]
     tlx, tly, tlz = lx - px, ly - py, lz - pz
-    dist2 = tlx * tlx + tly * tly + tlz * tlz
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
-    inv_d = 1.0 / jnp.maximum(dist, 1e-20)
+    dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-24)
+    inv_d = jax.lax.rsqrt(dist2)
+    dist = dist2 * inv_d
     ldx, ldy, ldz = tlx * inv_d, tly * inv_d, tlz * inv_d
     dot_nl = nx * ldx + ny * ldy + nz * ldz
 
@@ -90,8 +90,7 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
     spec_pow = jnp.where(
         cos_t > 0.0,
         jnp.exp(cx["shin"] * jnp.log(jnp.maximum(cos_t, 1e-12))), 0.0)
-    falloff = jnp.where(dist < ZERO_EPSILON, 1.0, dist)
-    inv_f2 = 1.0 / (falloff * falloff)
+    inv_f2 = jnp.where(dist < ZERO_EPSILON, 1.0, 1.0 / dist2)
 
     out_r = (cr * cx["kdx"] * dot_nl + cr * cx["ksx"] * spec_pow) * inv_f2
     out_g = (cg * cx["kdy"] * dot_nl + cg * cx["ksy"] * spec_pow) * inv_f2
@@ -104,7 +103,8 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
-                const_cols, seed_ref, ctx_ref, table_t_ref, *out_refs):
+                const_cols, affine_segments, seed_ref, ctx_ref, table_t_ref,
+                *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
 
@@ -132,16 +132,17 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
     # dominant cost of this kernel.
     varying = [c for c in range(21) if const_cols is None
                or const_cols[c] is None]
-    n_win = l_pad // 128
-    # NB: materialize the sublane broadcast with an add — take_along_axis
-    # of a lazy (1, 128) broadcast lowers as a >2D gather, which Mosaic
-    # rejects ("Only 2D gather is supported").
-    zeros_bh = jnp.zeros((bh, 128), jnp.float32)
-    tab_wins = {
-        c: [table_t_ref[c:c + 1, 128 * v:128 * (v + 1)] + zeros_bh
-            for v in range(n_win)]
-        for c in varying
-    }
+    if affine_segments is None:
+        n_win = l_pad // 128
+        # NB: materialize the sublane broadcast with an add — take_along_axis
+        # of a lazy (1, 128) broadcast lowers as a >2D gather, which Mosaic
+        # rejects ("Only 2D gather is supported").
+        zeros_bh = jnp.zeros((bh, 128), jnp.float32)
+        tab_wins = {
+            c: [table_t_ref[c:c + 1, 128 * v:128 * (v + 1)] + zeros_bh
+                for v in range(n_win)]
+            for c in varying
+        }
 
     def fetch_comps(idx):
         comps = {c: jnp.zeros((bh, bw), jnp.float32) for c in varying}
@@ -157,12 +158,56 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                     comps[c] = const_cols[c]
         return comps
 
+    def synth_comps(idxf):
+        """Recompute light columns arithmetically from the affine grid
+        structure (LightTable.affine_segments) — zero gathers, and the
+        exact f32 expression regular_light_grid used to build the rows,
+        so the result is bit-identical to fetch_comps of the same index."""
+        nseg = len(affine_segments)
+        comps = {}
+        # Columns constant across every segment become Python scalars.
+        for c in range(21):
+            per_seg = [seg[3][c] for seg in affine_segments]
+            if (all(b == 0.0 and cc == 0.0 for _, b, cc in per_seg)
+                    and len({a for a, _, _ in per_seg}) == 1):
+                comps[c] = per_seg[0][0]
+        rest = [c for c in range(21) if c not in comps]
+        for si, (s0, n, period, params) in enumerate(affine_segments):
+            local = idxf - float(s0) if s0 else idxf
+            need_xy = any(params[c][1] != 0.0 or params[c][2] != 0.0
+                          for c in rest)
+            if need_xy:
+                # local // period via floats: the +0.5 offset keeps floor
+                # exact under the two roundings (locals are exact ints).
+                xl = jnp.floor((local + 0.5) * (1.0 / period))
+                yl = local - xl * float(period)
+            if nseg > 1:
+                in_seg = (idxf >= float(s0)) & (idxf < float(s0 + n))
+            for c in rest:
+                a, b, cc = params[c]
+                val = a + b * xl if b != 0.0 else a
+                if cc != 0.0:
+                    val = val + cc * yl
+                if nseg == 1:
+                    comps[c] = val
+                else:
+                    prev = comps.get(c, jnp.zeros((bh, bw), jnp.float32))
+                    comps[c] = jnp.where(in_seg, val, prev)
+        return comps
+
     def candidate(u_idx, u1, u2):
         """One candidate per pixel: light pick + point sample + target PDF
         → (pos3, color3, p_hat)."""
-        idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
-                          num_lights - 1)  # [bh, bw]
-        comps = fetch_comps(idx)
+        if affine_segments is None:
+            idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
+                              num_lights - 1)  # [bh, bw]
+            comps = fetch_comps(idx)
+        else:
+            # Same truncation as the int path (floor of a non-negative
+            # product), kept in f32 for the affine replay.
+            idxf = jnp.minimum(jnp.floor(u_idx * num_lights),
+                               float(num_lights - 1))
+            comps = synth_comps(idxf)
 
         def plane(i):
             return comps[i]
@@ -287,10 +332,11 @@ def gen_canonical_samples_pallas(
         pl.BlockSpec((_BH, _BW), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM) for _ in range(10 * k))
     const_cols = getattr(lights, "const_cols", None)
+    affine_segments = getattr(lights, "affine_segments", None)
     outs = pl.pallas_call(
         functools.partial(_ris_kernel, s, k, num_lights,
                           tuple(float(c) for c in lane_counts),
-                          const_cols),
+                          const_cols, affine_segments),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]

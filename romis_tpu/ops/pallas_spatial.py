@@ -292,15 +292,26 @@ def halo_offset_gather_pallas(
 
 
 def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
-                 normal_cos: float, seed_ref, planes_hbm, out_ref, scratch,
-                 sem):
+                 normal_cos: float, seed_ref, cen_res_ref, cen_ctx_ref,
+                 gates_hbm, res_hbm, out_ref, gates_scr, res_scr, sem_g,
+                 sem_r):
     """One whole spatial-reuse pass per tile: neighbour gather + similarity
-    gates + stream weights + lane-wise Gumbel race + combine, all in VMEM.
+    gates + stream weights + lane-wise exponential race + combine, all in
+    VMEM.
 
     Estimator contract = ops/wrs.combine_biased over {self, neighbours}
     (ReSTIR Alg. 5, reference Reservoir::combineBiased reservoir.cpp:40-66,
-    gates render_utils.cpp:113-118). Input planes are packed by
-    render/restir.pack_pixel_planes; outputs are the 10K reservoir planes."""
+    gates render_utils.cpp:113-118).
+
+    Input diet (the pass is memory-bound — see scripts/spatial_micro.py):
+    only the planes neighbours actually read are halo-DMA'd — gates_hbm
+    [5, Hp, Wp] (normal3, depth, valid; padded ONCE per frame, reused by
+    every pass) and res_hbm [8K, Hp, Wp] (pos 3K, color 3K, big_w K, m K;
+    padded per pass). Everything the receiver pixel needs arrives through
+    the pipelined center blocks cen_res_ref [8K, bh, bw] / cen_ctx_ref
+    [18, bh, bw] (position3, normal3, view3, kd3, ks3, shin, depth, valid)
+    — no in-kernel center extraction, and kd/ks/shin/view/position are
+    never halo'd. Outputs are the 10K reservoir planes (pack order)."""
     from .pallas_ris import _phong_phat
 
     bh, bw = _BH, _BW
@@ -310,27 +321,26 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     tj = pl.program_id(1)
     pltpu.prng_seed(seed_ref[0] + ti * 48271 + tj * 719)
 
-    dma = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-
-    b = 10 * k  # ctx planes start (plane order: pack_pixel_planes)
-
-    def cen(i):
-        return _center_plane(scratch[i], radius)
+    dma_g = pltpu.make_async_copy(
+        gates_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
+        gates_scr, sem_g)
+    dma_r = pltpu.make_async_copy(
+        res_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
+        res_scr, sem_r)
+    dma_g.start()
+    dma_r.start()
 
     # Receiver shading context (dict layout of pallas_ris._phong_phat).
     cx = {
-        "px": cen(b + 0), "py": cen(b + 1), "pz": cen(b + 2),
-        "nx": cen(b + 3), "ny": cen(b + 4), "nz": cen(b + 5),
-        "vx": cen(b + 6), "vy": cen(b + 7), "vz": cen(b + 8),
-        "kdx": cen(b + 9), "kdy": cen(b + 10), "kdz": cen(b + 11),
-        "ksx": cen(b + 12), "ksy": cen(b + 13), "ksz": cen(b + 14),
-        "shin": cen(b + 15), "valid": cen(b + 18),
+        "px": cen_ctx_ref[0], "py": cen_ctx_ref[1], "pz": cen_ctx_ref[2],
+        "nx": cen_ctx_ref[3], "ny": cen_ctx_ref[4], "nz": cen_ctx_ref[5],
+        "vx": cen_ctx_ref[6], "vy": cen_ctx_ref[7], "vz": cen_ctx_ref[8],
+        "kdx": cen_ctx_ref[9], "kdy": cen_ctx_ref[10],
+        "kdz": cen_ctx_ref[11], "ksx": cen_ctx_ref[12],
+        "ksy": cen_ctx_ref[13], "ksz": cen_ctx_ref[14],
+        "shin": cen_ctx_ref[15], "valid": cen_ctx_ref[17],
     }
-    recv_depth = cen(b + 16)
+    recv_depth = cen_ctx_ref[16]
     recv_valid = cx["valid"] > 0.5
 
     def gumbel_u(count):
@@ -349,9 +359,10 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     def stream(lane, mask_f, pos3, col3, big_w, m, u_g):
         p_hat = _phong_phat(cx, *pos3, *col3)
         w = p_hat * big_w * m * mask_f
-        g = -jnp.log(-jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37)
-        score = jnp.where(w > 0.0,
-                          jnp.log(jnp.maximum(w, 1e-37)) + g, -jnp.inf)
+        # Exponential race (one log vs Gumbel-max's two, see pallas_ris):
+        # argmax of w / E, E ~ Exp(1), picks stream i w.p. w_i / Σw.
+        e_clock = -jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37
+        score = jnp.where(w > 0.0, w / e_clock, -jnp.inf)
         upd = score > best[lane]
         w_sum[lane] = w_sum[lane] + w
         m_out[lane] = m_out[lane] + m * mask_f
@@ -365,22 +376,64 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     for lane in range(k):
         stream(
             lane, ones,
-            tuple(cen(3 * lane + c) for c in range(3)),
-            tuple(cen(3 * k + 3 * lane + c) for c in range(3)),
-            cen(8 * k + lane), cen(7 * k + lane), ug_self[lane])
+            tuple(cen_res_ref[3 * lane + c] for c in range(3)),
+            tuple(cen_res_ref[3 * k + 3 * lane + c] for c in range(3)),
+            cen_res_ref[6 * k + lane], cen_res_ref[7 * k + lane],
+            ug_self[lane])
 
-    # Neighbour streams.
+    # Neighbour streams. Offset factorisation for this kernel: dy is
+    # ROW-coherent (shared along each output row, per neighbour) so the row
+    # resolve is ONE one-hot matmul on the MXU over all needed planes
+    # stacked along lanes; dx stays fully per-pixel (Mosaic's lane
+    # dynamic_gather takes per-pixel indices). Marginals are unchanged —
+    # dy, dx are uniform on [-r, r] for every pixel — only the cross-pixel
+    # correlation pattern differs (see module docstring). The one-hot rows
+    # are exact 0/1 and every packed plane is finite (depth/normals are
+    # zeroed at misses, render/restir.py make_shade_ctx), so the HIGHEST-
+    # precision (bf16x3) matmul reconstructs the gathered f32 bit-exactly.
+    dma_g.wait()
+    dma_r.wait()
+    # Lane-stacked slot order: gates (normal3, depth, valid) then the 8K
+    # reservoir planes (pos 3K, color 3K, big_w K, m K — cen_res layout).
+    stacked = jnp.concatenate(
+        [gates_scr[i] for i in range(5)]
+        + [res_scr[i] for i in range(8 * k)], axis=1)
+
+    iota_he = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 1)
+    row_plus_r = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 0) + radius
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+
     for _ in range(n_nbr):
-        offs = _draw_offsets(radius)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2 * bh, bw)),
+                             jnp.uint32)
+        dy = (jnp.minimum((_u01(bits[:bh]) * (2 * radius + 1))
+                          .astype(jnp.int32), 2 * radius) - radius)[:, 0:1]
+        dx = (jnp.minimum((_u01(bits[bh:]) * (2 * radius + 1))
+                          .astype(jnp.int32), 2 * radius) - radius)
+        onehot = (iota_he == row_plus_r + dy).astype(jnp.float32)
+        r_all = jax.lax.dot_general(
+            onehot, stacked, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [bh, (5 + 8K)*we]
+        lane_idx = iota_bw + radius + dx
+        lane_lo = jnp.minimum(lane_idx, bw - 1)
+        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
+        use_lo = lane_idx < bw
 
-        def nb(i):
-            return _resolve_plane(scratch[i], offs, radius)
+        def nb(s):
+            rl = r_all[:, s * we:(s + 1) * we]
+            t_lo = rl[:, :bw]
+            t_hi = pltpu.roll(rl, shift=bw, axis=1)[:, :bw]
+            return jnp.where(
+                use_lo,
+                jnp.take_along_axis(t_lo, lane_lo, axis=1),
+                jnp.take_along_axis(t_hi, lane_hi, axis=1))
 
-        n_depth = nb(b + 16)
-        n_valid = nb(b + 18) > 0.5
+        n_depth = nb(3)
+        n_valid = nb(4) > 0.5
         depth_ok = (jnp.abs(1.0 - n_depth
                             / jnp.maximum(recv_depth, 1e-20)) <= depth_frac)
-        nnx, nny, nnz = nb(b + 3), nb(b + 4), nb(b + 5)
+        nnx, nny, nnz = nb(0), nb(1), nb(2)
         normal_ok = (nnx * cx["nx"] + nny * cx["ny"] + nnz * cx["nz"]
                      >= normal_cos)
         mask_f = jnp.where(depth_ok & normal_ok & recv_valid & n_valid,
@@ -390,9 +443,9 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
         for lane in range(k):
             stream(
                 lane, mask_f,
-                tuple(nb(3 * lane + c) for c in range(3)),
-                tuple(nb(3 * k + 3 * lane + c) for c in range(3)),
-                nb(8 * k + lane), nb(7 * k + lane), ug[lane])
+                tuple(nb(5 + 3 * lane + c) for c in range(3)),
+                tuple(nb(5 + 3 * k + 3 * lane + c) for c in range(3)),
+                nb(5 + 6 * k + lane), nb(5 + 7 * k + lane), ug[lane])
 
     # Outputs in pack_pixel_planes reservoir order:
     # pos 3K | color 3K | w_sum K | m K | big_w K | chosen_w K.
@@ -410,27 +463,73 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
         out_ref[9 * k + lane] = sel[lane][6]
 
 
-def spatial_pass_pallas(
-    seed,
-    planes: jnp.ndarray,  # [C, H, W] pack_pixel_planes layout
-    k: int,
-    n_nbr: int,
-    radius: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """One fused spatial-reuse pass → updated reservoir planes [10K, H, W]."""
-    if radius > 64:
-        raise ValueError("fused spatial pass supports radius <= 64")
-    c, h, w = planes.shape
+def pad_halo(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Edge-pad [C, H, W] planes for the halo DMA windows (border clamp =
+    edge-padded lookup; extra rows/cols keep the last tile's aligned window
+    in bounds, never selected by any index)."""
+    _, h, w = planes.shape
     align_h = (-h) % _BH
     align_w = (-w) % _BW
     he, we = _halo_window(radius)
-    padded = jnp.pad(
+    return jnp.pad(
         planes,
         ((0, 0),
          (radius, align_h + (he - _BH - radius)),
          (radius, align_w + (we - _BW - radius))),
         mode="edge")
+
+
+def pack_center_res(res) -> jnp.ndarray:
+    """Reservoirs → the [8K, H, W] plane block the pass kernel race reads:
+    pos 3K | color 3K | big_w K | m K."""
+    h, w = res.w_sum.shape[-2:]
+    return jnp.concatenate([
+        res.pos.reshape((-1, h, w)), res.color.reshape((-1, h, w)),
+        res.big_w, res.m,
+    ], axis=0)
+
+
+def pack_center_ctx(ctx) -> jnp.ndarray:
+    """ShadeCtx → the [18, H, W] receiver block: position3 | normal3 |
+    view3 | kd3 | ks3 | shin | depth | valid."""
+    return jnp.concatenate([
+        ctx.position, ctx.normal, ctx.view_origin, ctx.kd, ctx.ks,
+        ctx.shininess[None], ctx.depth_t[None],
+        ctx.valid.astype(jnp.float32)[None],
+    ], axis=0)
+
+
+def pack_gates(ctx) -> jnp.ndarray:
+    """ShadeCtx → the [5, H, W] similarity-gate block halo'd per neighbour:
+    normal3 | depth | valid."""
+    return jnp.concatenate([
+        ctx.normal, ctx.depth_t[None],
+        ctx.valid.astype(jnp.float32)[None],
+    ], axis=0)
+
+
+def spatial_pass_pallas(
+    seed,
+    res_pad: jnp.ndarray,  # [8K, Hp, Wp] pack_center_res, pad_halo'd
+    gates_pad: jnp.ndarray,  # [5, Hp, Wp] pack_gates, pad_halo'd
+    cen_res: jnp.ndarray,  # [8K, H, W] pack_center_res
+    cen_ctx: jnp.ndarray,  # [18, H, W] pack_center_ctx
+    k: int,
+    n_nbr: int,
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused spatial-reuse pass → updated reservoir planes [10K, H, W]
+    (pack_pixel_planes reservoir order)."""
+    if radius > 64:
+        raise ValueError("fused spatial pass supports radius <= 64")
+    _, h, w = cen_ctx.shape
+    align_h = (-h) % _BH
+    align_w = (-w) % _BW
+    he, we = _halo_window(radius)
+    if align_h or align_w:
+        cen_res = jnp.pad(cen_res, ((0, 0), (0, align_h), (0, align_w)))
+        cen_ctx = jnp.pad(cen_ctx, ((0, 0), (0, align_h), (0, align_w)))
     hp, wp = h + align_h, w + align_w
     grid = (hp // _BH, wp // _BW)
 
@@ -442,15 +541,22 @@ def spatial_pass_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
+            pl.BlockSpec((8 * k, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),  # center reservoirs
+            pl.BlockSpec((18, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),  # center ctx
+            pl.BlockSpec(memory_space=pl.ANY),  # gate halo planes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # reservoir halo planes
         ],
         out_specs=pl.BlockSpec((10 * k, _BH, _BW), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10 * k, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, he, we), jnp.float32),
+            pltpu.VMEM((5, he, we), jnp.float32),
+            pltpu.VMEM((8 * k, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), padded)
+    )(jnp.asarray([seed], jnp.int32), cen_res, cen_ctx, gates_pad, res_pad)
     return out[:, :h, :w]

@@ -44,6 +44,33 @@ def _blocks(n_tris: int) -> int:
     return -(-n_tris // TRI_UNROLL)
 
 
+def _mt_occluded_tri(ox, oy, oz, dx, dy, dz, t_max, v0, e1, e2):
+    """Division-free Möller–Trumbore occlusion predicate: multiplying the
+    barycentric/t conditions through by det² turns them into sign/ordering
+    tests on the raw triple products — same hit set as _mt_scalar_tri up to
+    rounding at exact boundaries, one reciprocal cheaper (the any-hit
+    kernel needs only the boolean)."""
+    v0x, v0y, v0z = v0
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    ua = (tx * px + ty * py + tz * pz) * det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    va = (dx * qx + dy * qy + dz * qz) * det
+    ta = (e2x * qx + e2y * qy + e2z * qz) * det
+    aa = det * det
+    return ((aa > 1e-18) & (ua >= 0.0) & (va >= 0.0) & (ua + va <= aa)
+            & (ua <= aa) & (ta > 0.0) & (ta < t_max * aa))
+
+
 def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     """Möller–Trumbore of a ray tile against ONE triangle given as scalar
     component tuples. Returns (t, u, v, ok) tiles."""
@@ -173,8 +200,8 @@ def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
         e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
         e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
         active = trix_ref[9, j] > 0.0
-        t, _, _, ok = _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2)
-        hit = ok & active & (t < t_max)
+        hit = (_mt_occluded_tri(ox, oy, oz, dx, dy, dz, t_max, v0, e1, e2)
+               & active)
         return jnp.maximum(occ, hit.astype(jnp.float32))
 
     def body(b, _):

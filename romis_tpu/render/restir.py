@@ -312,16 +312,28 @@ def spatial_reuse(
             and getattr(geometry, "use_pallas", False)
             and jax.default_backend() == "tpu"
             and not features.unbiased_combination):
-        from ..ops.pallas_spatial import spatial_pass_pallas
+        from ..ops.pallas_spatial import (
+            pack_center_ctx, pack_center_res, pack_gates, pad_halo,
+            spatial_pass_pallas,
+        )
 
-        planes = pack_pixel_planes(reservoirs, ctx)
-        nres = 10 * k
+        # The pass is memory-bound: gate + receiver ctx planes are packed
+        # and (for gates) halo-padded ONCE per frame; only the 8K reservoir
+        # planes are re-packed/padded per pass.
+        cen_ctx = pack_center_ctx(ctx)
+        gates_pad = pad_halo(pack_gates(ctx), radius)
+        res_planes = None
         for p in range(features.spatial_resampling_passes):
             kp = jax.random.fold_in(key, p)
             seed = jax.random.key_data(kp).astype(jnp.int32).sum()
-            res_planes = spatial_pass_pallas(seed, planes, k, k_n, radius)
-            planes = jnp.concatenate([res_planes, planes[nres:]], axis=0)
-        return unpack_reservoir_planes(planes[:nres], k)
+            cen_res = (pack_center_res(reservoirs) if res_planes is None
+                       else jnp.concatenate(
+                           [res_planes[:6 * k], res_planes[8 * k:9 * k],
+                            res_planes[7 * k:8 * k]], axis=0))
+            res_planes = spatial_pass_pallas(
+                seed, pad_halo(cen_res, radius), gates_pad, cen_res,
+                cen_ctx, k, k_n, radius)
+        return unpack_reservoir_planes(res_planes, k)
 
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]

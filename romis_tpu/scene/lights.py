@@ -51,6 +51,18 @@ class LightTable:
     # None = unknown/traced (apply_params clears it when differentiating
     # through light parameters).
     const_cols: tuple | None = struct.field(pytree_node=False, default=None)
+    # Exact affine structure of the table, when EVERY light comes from
+    # regular_light_grid calls (src/scene/scene.cpp:5-28): a tuple of
+    # segments (start, count, period, params21) where light i in
+    # [start, start+count) has column c equal to
+    #     a + b*float(local // period) + c_*float(local % period),
+    # local = i - start, params21[c] = (a, b, c_) — the builder's own f32
+    # expression, so recomputation is BIT-EXACT vs the stored rows. The
+    # fused RIS kernel (ops/pallas_ris.py) uses this to synthesise light
+    # rows arithmetically instead of dynamic-gathering them (the fetch
+    # dominates that kernel). None = irregular/traced table.
+    affine_segments: tuple | None = struct.field(pytree_node=False,
+                                                 default=None)
 
     @property
     def n(self) -> int:
@@ -79,6 +91,10 @@ class LightListBuilder:
 
     def __init__(self):
         self.rows = []
+        # (start, count, period, params21) spans appended by
+        # regular_light_grid; build() exposes them as affine_segments only
+        # when they cover the whole table.
+        self._affine_spans = []
 
     def add_point(self, position, color):
         """Reference PointLight (common.h:72-75)."""
@@ -120,6 +136,9 @@ class LightListBuilder:
             else None
             for c in range(21)
         )
+        covered = sum(s[1] for s in self._affine_spans)
+        affine = (tuple(self._affine_spans)
+                  if covered == len(self.rows) else None)
         return LightTable(
             v0=jnp.asarray(arrs[0]), edge01=jnp.asarray(arrs[1]),
             edge02=jnp.asarray(arrs[2]), c0=jnp.asarray(arrs[3]),
@@ -127,6 +146,7 @@ class LightListBuilder:
             c3=jnp.asarray(arrs[6]), kind=jnp.asarray(kind),
             rows=_pack_rows(*arrs),
             const_cols=const_cols,
+            affine_segments=affine,
         )
 
     def __len__(self):
@@ -183,9 +203,24 @@ def regular_light_grid(
     space02 = edge02 / cy
     light01 = edge01 * (1.0 - empty_space_percentage) / cx
     light02 = edge02 * (1.0 - empty_space_percentage) / cy
+    start = len(builder)
     for xl in range(cx):
         for yl in range(cy):
             origin = start_pos + space01 * xl + space02 * yl
             builder.add_parallelogram(origin, light01, light02,
                                       color, color, color, color)
+    # Record the exact affine structure (LightTable.affine_segments): light
+    # local = xl*cy + yl, so column value = a + b*(local//cy) + c*(local%cy)
+    # with the SAME f32 expression as `origin` above — bit-exact on replay.
+    color = np.asarray(color, np.float32)
+    zero3 = np.zeros(3, np.float32)
+
+    def abc(a3, b3, c3):
+        return [(float(a3[d]), float(b3[d]), float(c3[d])) for d in range(3)]
+
+    params = (abc(start_pos, space01, space02)      # v0
+              + abc(light01, zero3, zero3)          # edge01
+              + abc(light02, zero3, zero3)          # edge02
+              + abc(color, zero3, zero3) * 4)       # c0..c3
+    builder._affine_spans.append((start, cx * cy, cy, tuple(params)))
     return builder

@@ -1,0 +1,54 @@
+"""Microbenchmark of the fused spatial-pass kernel on TPU.
+
+Times spatial_pass_pallas at 1080p for several (n_nbr, radius) points to
+attribute cost: DMA+center (n_nbr=0), per-neighbour resolve (slope over
+n_nbr), halo size (radius).  Run: python scripts/spatial_micro.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    h, w, k = 1080, 1920, 2
+    reps = 20
+
+    from romis_tpu.ops.pallas_spatial import (
+        pack_gates, pad_halo, spatial_pass_pallas,
+    )
+
+    key = jax.random.PRNGKey(0)
+    cen_res = jax.random.uniform(key, (8 * k, h, w), jnp.float32)
+    cen_ctx = jax.random.uniform(jax.random.fold_in(key, 1), (18, h, w),
+                                 jnp.float32)
+
+    for n_nbr, radius in [(0, 10), (1, 10), (5, 10)]:
+        def run(seed0, cen_res, cen_ctx):
+            gates_pad = pad_halo(cen_ctx[3:8], radius)
+
+            def f(s, _):
+                out = spatial_pass_pallas(
+                    s, pad_halo(cen_res, radius), gates_pad, cen_res,
+                    cen_ctx, k, n_nbr, radius)
+                return s + 1, jnp.sum(out[0])
+            _, sums = jax.lax.scan(f, seed0, None, length=reps)
+            return jnp.sum(sums)
+
+        fn = jax.jit(run, static_argnums=())
+        t0 = time.perf_counter()
+        float(fn(jnp.int32(1), cen_res, cen_ctx))
+        t1 = time.perf_counter()
+        float(fn(jnp.int32(2), cen_res, cen_ctx))
+        t2 = time.perf_counter()
+        print(f"n_nbr={n_nbr} r={radius:2d}  compile {t1-t0-(t2-t1):5.1f}s "
+              f"{1000*(t2-t1)/reps:7.2f} ms/pass", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,12 +194,15 @@ def test_halo_offset_gather_exact():
 def test_spatial_pass_kernel_matches_combine_semantics():
     """Fused spatial pass (TPU-interpret emulation) vs a replay of the
     combine_biased semantics. The interpret PRNG stub returns zeros, so all
-    offsets are (-r, -r) and the Gumbel perturbation is one constant —
+    offsets are (-r, -r) and the exponential race clock is one constant —
     the winner is the first stream with maximal w, which we can replay
     exactly with the XLA building blocks."""
     from jax.experimental.pallas import tpu as pltpu
     from romis_tpu.core.features import Features
-    from romis_tpu.ops.pallas_spatial import spatial_pass_pallas
+    from romis_tpu.ops.pallas_spatial import (
+        pack_center_ctx, pack_center_res, pack_gates, pad_halo,
+        spatial_pass_pallas,
+    )
     from romis_tpu.ops.shading import target_pdf
     from romis_tpu.render.restir import (
         SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS, pack_pixel_planes,
@@ -212,8 +215,11 @@ def test_spatial_pass_kernel_matches_combine_semantics():
     res, ctx = random_reservoirs_and_ctx(np.random.default_rng(3), h, w, k)
 
     planes = pack_pixel_planes(res, ctx)
+    cen_res = pack_center_res(res)
     got = unpack_reservoir_planes(
-        spatial_pass_pallas(5, planes, k, n_nbr, r,
+        spatial_pass_pallas(5, pad_halo(cen_res, r),
+                            pad_halo(pack_gates(ctx), r), cen_res,
+                            pack_center_ctx(ctx), k, n_nbr, r,
                             interpret=pltpu.InterpretParams()), k)
 
     # Replay: every neighbour is the pixel at clamp(y-r, x-r).
@@ -313,9 +319,51 @@ def test_ris_const_cols_bitexact():
         [True, False, True] + [False] * 18)
 
     baked = gen_canonical_samples_pallas(
-        5, ctx, lights, len(b), feats, interpret=pltpu.InterpretParams())
-    full = gen_canonical_samples_pallas(
-        5, ctx, lights.replace(const_cols=None), len(b), feats,
+        5, ctx, lights.replace(affine_segments=None), len(b), feats,
         interpret=pltpu.InterpretParams())
+    full = gen_canonical_samples_pallas(
+        5, ctx, lights.replace(const_cols=None, affine_segments=None),
+        len(b), feats, interpret=pltpu.InterpretParams())
     for a, c in zip(jax.tree.leaves(baked), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_ris_affine_segments_bitexact():
+    """The affine-grid light synthesis (LightTable.affine_segments) must
+    reproduce the gather path bit-for-bit: it replays regular_light_grid's
+    own f32 expressions instead of fetching the stored rows. Two grids of
+    different periods/colors = the nightclub shape (scene.cpp:30-66)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_ris import gen_canonical_samples_pallas
+    from romis_tpu.scene.lights import LightListBuilder, regular_light_grid
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, k = 16, 140, 2
+    feats = Features()
+    _, ctx = random_reservoirs_and_ctx(np.random.default_rng(3), h, w, k)
+    b = LightListBuilder()
+    regular_light_grid(b, (-8.7, 6.4, -9.1), (16, 16), (0.0, 0.0, 17.0),
+                       (0.0, -6.0, 0.0), (0.65, 0.65, 0.65), 0.30)
+    regular_light_grid(b, (9.2, 6.4, 8.6), (12, 7), (-17.0, 0.0, 0.0),
+                       (0.0, -6.0, 0.0), (0.4, 0.4, 0.4), 0.30)
+    lights = b.build()
+    assert lights.affine_segments is not None
+    assert [seg[:3] for seg in lights.affine_segments] == [
+        (0, 256, 16), (256, 84, 7)]
+    # The affine params replay the stored rows exactly on the host too.
+    rows = np.asarray(lights.rows)
+    for s0, n, period, params in lights.affine_segments:
+        for i in range(0, n, 13):
+            xl, yl = np.float32(i // period), np.float32(i % period)
+            for c in range(21):
+                a, bb, cc = (np.float32(x) for x in params[c])
+                assert rows[s0 + i, c] == np.float32(a + bb * xl) + cc * yl
+
+    synth = gen_canonical_samples_pallas(
+        11, ctx, lights, len(b), feats, interpret=pltpu.InterpretParams())
+    gathered = gen_canonical_samples_pallas(
+        11, ctx, lights.replace(const_cols=None, affine_segments=None),
+        len(b), feats, interpret=pltpu.InterpretParams())
+    for a, c in zip(jax.tree.leaves(synth), jax.tree.leaves(gathered)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
