@@ -13,6 +13,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -73,10 +74,15 @@ def main():
         t0 = time.perf_counter()
         float(fn(jax.random.PRNGKey(1), ctx, res))
         t1 = time.perf_counter()
-        float(fn(jax.random.PRNGKey(2), ctx, res))
-        t2 = time.perf_counter()
-        print(f"{name:28s} compile {t1 - t0 - (t2 - t1):6.1f}s  "
-              f"{1000 * (t2 - t1) / reps:8.2f} ms/rep", flush=True)
+        # The tunnel adds a RANDOM ~0-1s dispatch penalty per call: take
+        # the best of 3 (same protocol as bench.py).
+        best = np.inf
+        for i in range(2, 5):
+            ta = time.perf_counter()
+            float(fn(jax.random.PRNGKey(i), ctx, res))
+            best = min(best, time.perf_counter() - ta)
+        print(f"{name:28s} compile {t1 - t0 - best:6.1f}s  "
+              f"{1000 * best / reps:8.2f} ms/rep", flush=True)
 
     timed("trace_primary",
           lambda kk, ctx, res: trace_primary(generate_rays(cam, h, w),
