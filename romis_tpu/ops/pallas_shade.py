@@ -1,0 +1,170 @@
+"""Fused final-shading Pallas kernel: shadow visibility + Phong + W-weighted
+lane average in one pass over the image.
+
+Reference analog: finalShading (src/rendering/render_utils.cpp:54-65) =
+testVisibilityLightSample (utils.cpp:41-56) x computeShading
+(shading.cpp:7-34) x outputWeight, averaged over the K reservoir lanes.
+
+The XLA path materialises the K shadow-ray bundles (origins/dirs/t_max,
+~14 planes), runs the any-hit kernel, then re-reads the shading context for
+the Phong pass — ~12 ms at 1080p, of which ~10 ms is the (compute-bound)
+any-hit. Fusing keeps the receiver context and reservoir planes in VMEM for
+both the trace and the shade: one read of 38 input planes, 3 planes out,
+and the Phong arithmetic rides along with the occlusion loop for free.
+
+Semantics match ops/wrs.visibility + ops/shading.phong_shade exactly
+(same epsilons, NaN scrubs, grad-safe norms); gradients are provided by the
+re-evaluation custom_vjp in render/restir.py, not by this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_trace import (
+    _block_aabbs,
+    _pad_hw,
+    _tri_columns,
+    occlusion_into,
+)
+
+_BH, _BW = 32, 256
+
+_SHADOW_EPS = 1e-3  # ops/wrs.SHADOW_RAY_EPSILON (reference utils.h:16)
+_ZERO_EPS = 1e-5  # ops/shading.ZERO_EPSILON (reference utils.h:19)
+
+
+def _safe_norm3(x, y, z, eps=1e-30):
+    """core/vec.vnorm on component planes: exactly 0 for the zero vector."""
+    sq = x * x + y * y + z * z
+    ok = sq > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+
+
+def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
+                  out_ref, occf_ref):
+    """ctx_ref: [18, bh, bw] pack_center_ctx planes (position3 | normal3 |
+    view3 | kd3 | ks3 | shin | depth | valid). res_ref: [8K, bh, bw]
+    pack_center_res planes (pos 3K | color 3K | big_w K | m K). Output
+    [3, bh, bw] pre-tone-map color."""
+    px, py, pz = ctx_ref[0], ctx_ref[1], ctx_ref[2]
+    nx, ny, nz = ctx_ref[3], ctx_ref[4], ctx_ref[5]
+
+    # View direction (shared by all lanes): v = normalize(view_origin - p).
+    vx0 = ctx_ref[6] - px
+    vy0 = ctx_ref[7] - py
+    vz0 = ctx_ref[8] - pz
+    vinv = jnp.reciprocal(jnp.maximum(_safe_norm3(vx0, vy0, vz0), 1e-20))
+    vx, vy, vz = vx0 * vinv, vy0 * vinv, vz0 * vinv
+
+    kdx, kdy, kdz = ctx_ref[9], ctx_ref[10], ctx_ref[11]
+    ksx, ksy, ksz = ctx_ref[12], ctx_ref[13], ctx_ref[14]
+    shin = ctx_ref[15]
+    valid = ctx_ref[17] > 0.5
+
+    acc = [jnp.zeros(px.shape, jnp.float32) for _ in range(3)]
+
+    for lane in range(k):
+        lx = res_ref[3 * lane]
+        ly = res_ref[3 * lane + 1]
+        lz = res_ref[3 * lane + 2]
+        cr = res_ref[3 * k + 3 * lane]
+        cg = res_ref[3 * k + 3 * lane + 1]
+        cb = res_ref[3 * k + 3 * lane + 2]
+        big_w = res_ref[6 * k + lane]
+
+        tox, toy, toz = lx - px, ly - py, lz - pz
+
+        # Phong light direction (needed before the trace for dead-ray
+        # gating; ops/shading.phong_shade semantics).
+        dist2 = tox * tox + toy * toy + toz * toz
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+        pinv = jnp.reciprocal(jnp.maximum(dist, 1e-20))
+        plx, ply, plz = tox * pinv, toy * pinv, toz * pinv
+        dot_nl = nx * plx + ny * ply + nz * plz
+
+        # ===== visibility (ops/wrs.visibility semantics) =====
+        vdist = _safe_norm3(tox, toy, toz)
+        dinv = jnp.reciprocal(jnp.maximum(vdist, 1e-20))
+        ldx, ldy, ldz = tox * dinv, toy * dinv, toz * dinv
+        ox = px + _SHADOW_EPS * ldx
+        oy = py + _SHADOW_EPS * ldy
+        oz = pz + _SHADOW_EPS * ldz
+        t_max = _safe_norm3(lx - ox, ly - oy, lz - oz)
+        # Dead-ray diet: where the contribution is provably zero (miss
+        # pixel, light behind the surface, or zero W) the visibility result
+        # is never read — zero t_max so those rays stop keeping triangle
+        # blocks alive in the culling loop.
+        live = valid & (dot_nl >= 0.0) & (big_w != 0.0)
+        t_max = jnp.where(live, t_max, 0.0)
+        occlusion_into(n_tris, trix_ref, aabb_ref, ox, oy, oz,
+                       ldx, ldy, ldz, t_max, occf_ref)
+        vis = (occf_ref[...] < 0.5) | (vdist <= _SHADOW_EPS)
+
+        rx0 = 2.0 * dot_nl * nx - plx
+        ry0 = 2.0 * dot_nl * ny - ply
+        rz0 = 2.0 * dot_nl * nz - plz
+        rinv = jnp.reciprocal(jnp.maximum(_safe_norm3(rx0, ry0, rz0), 1e-20))
+        cos_t = (rx0 * vx + ry0 * vy + rz0 * vz) * rinv
+
+        cos_safe = jnp.maximum(cos_t, 1e-12)
+        spec_pow = jnp.where(
+            cos_t > 0.0, jnp.exp(shin * jnp.log(cos_safe)), 0.0)
+
+        falloff = jnp.where(dist < _ZERO_EPS, 1.0, dist)
+        inv_f2 = jnp.reciprocal(falloff * falloff)
+
+        # behind/valid gates + vis x W; the NaN scrub of phong_shade is
+        # implicit — every input plane is finite by construction (packed
+        # state is zeroed at misses) and dot_nl/spec_pow are finite.
+        gate = jnp.where((dot_nl >= 0.0) & valid & vis, big_w * inv_f2, 0.0)
+        for c, (kd_c, ks_c, col_c) in enumerate(
+                ((kdx, ksx, cr), (kdy, ksy, cg), (kdz, ksz, cb))):
+            out_c = col_c * (kd_c * dot_nl + ks_c * spec_pow)
+            acc[c] = acc[c] + out_c * gate
+
+    inv_k = 1.0 / float(k)
+    for c in range(3):
+        out_ref[c] = acc[c] * inv_k
+
+
+def final_shade_pallas(
+    ctx_planes: jnp.ndarray,  # [18, H, W] pack_center_ctx
+    res_planes: jnp.ndarray,  # [8K, H, W] pack_center_res
+    geometry,
+    k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused visibility x Phong x W lane average → color [3, H, W]
+    (pre-tone-map)."""
+    ctx_p, h, w = _pad_hw(ctx_planes, _BH, _BW)
+    res_p, _, _ = _pad_hw(res_planes, _BH, _BW)
+    hp, wp = ctx_p.shape[-2:]
+
+    trix = _tri_columns(geometry)
+    aabbs = _block_aabbs(geometry, trix)
+
+    grid = (hp // _BH, wp // _BW)
+    out = pl.pallas_call(
+        functools.partial(_shade_kernel, geometry.num_tris, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # triangles
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # block AABBs
+            pl.BlockSpec((18, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * k, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, _BH, _BW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BH, _BW), jnp.float32)],
+        interpret=interpret,
+    )(trix, aabbs, ctx_p, res_p)
+    return out[:, :h, :w]

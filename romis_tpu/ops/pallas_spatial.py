@@ -292,7 +292,8 @@ def halo_offset_gather_pallas(
 
 
 def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
-                 normal_cos: float, seed_ref, cen_res_ref, cen_ctx_ref,
+                 normal_cos: float, n_tj: int, n_steps: int,
+                 seed_ref, cen_res_ref, cen_ctx_ref,
                  gates_hbm, res_hbm, out_ref, gates_scr, res_scr, sem_g,
                  sem_r):
     """One whole spatial-reuse pass per tile: neighbour gather + similarity
@@ -311,7 +312,15 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     the pipelined center blocks cen_res_ref [8K, bh, bw] / cen_ctx_ref
     [18, bh, bw] (position3, normal3, view3, kd3, ks3, shin, depth, valid)
     — no in-kernel center extraction, and kd/ks/shin/view/position are
-    never halo'd. Outputs are the 10K reservoir planes (pack order)."""
+    never halo'd. Outputs are the 10K reservoir planes (pack order).
+
+    The halo DMA is DOUBLE-BUFFERED across grid steps (scratch leading axis
+    2): tile N+1's window streams in while tile N computes — the un-overlapped
+    version stalled ~5 ms/pass on the wait (scripts/spatial_micro.py n_nbr=0
+    row). The overlapping windows (stride bh < window he) make the automatic
+    BlockSpec pipeline unusable for halos, hence the manual pattern. (A
+    tile-column [n_tj, Hp, C*we] layout with 5-16KB DMA rows was tried and
+    reverted: the DMA is already hidden, and its XLA-side prep cost 2-4 ms.)"""
     from .pallas_ris import _phong_phat
 
     bh, bw = _BH, _BW
@@ -321,14 +330,36 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     tj = pl.program_id(1)
     pltpu.prng_seed(seed_ref[0] + ti * 48271 + tj * 719)
 
-    dma_g = pltpu.make_async_copy(
-        gates_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
-        gates_scr, sem_g)
-    dma_r = pltpu.make_async_copy(
-        res_hbm.at[:, pl.ds(ti * bh, he), pl.ds(tj * bw, we)],
-        res_scr, sem_r)
-    dma_g.start()
-    dma_r.start()
+    step = ti * n_tj + tj
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def copies(i, j, s):
+        dma_g = pltpu.make_async_copy(
+            gates_hbm.at[:, pl.ds(i * bh, he), pl.ds(j * bw, we)],
+            gates_scr.at[s], sem_g.at[s])
+        dma_r = pltpu.make_async_copy(
+            res_hbm.at[:, pl.ds(i * bh, he), pl.ds(j * bw, we)],
+            res_scr.at[s], sem_r.at[s])
+        return dma_g, dma_r
+
+    @pl.when(step == 0)
+    def _first():
+        dma_g, dma_r = copies(ti, tj, slot)
+        dma_g.start()
+        dma_r.start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch_next():
+        nj = tj + 1
+        wrap = nj >= n_tj
+        ni = jnp.where(wrap, ti + 1, ti)
+        nj = jnp.where(wrap, 0, nj)
+        dma_g, dma_r = copies(ni, nj, nslot)
+        dma_g.start()
+        dma_r.start()
+
+    dma_g, dma_r = copies(ti, tj, slot)
 
     # Receiver shading context (dict layout of pallas_ris._phong_phat).
     cx = {
@@ -393,11 +424,13 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     # precision (bf16x3) matmul reconstructs the gathered f32 bit-exactly.
     dma_g.wait()
     dma_r.wait()
+    g_scr = gates_scr.at[slot]
+    r_scr = res_scr.at[slot]
     # Lane-stacked slot order: gates (normal3, depth, valid) then the 8K
     # reservoir planes (pos 3K, color 3K, big_w K, m K — cen_res layout).
     stacked = jnp.concatenate(
-        [gates_scr[i] for i in range(5)]
-        + [res_scr[i] for i in range(8 * k)], axis=1)
+        [g_scr[i] for i in range(5)]
+        + [r_scr[i] for i in range(8 * k)], axis=1)
 
     iota_he = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 1)
     row_plus_r = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 0) + radius
@@ -479,6 +512,29 @@ def pad_halo(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
         mode="edge")
 
 
+def pad_halo_cols(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Tile-column halo layout for the pass kernel: [C, H, W] →
+    [n_tj, Hp, C*we], where slot tj holds every plane's we-wide window of
+    tile column j, lane-stacked in plane order.
+
+    Why: DMA'ing windows out of the [C, Hp, Wp] layout moves 1KB rows
+    (we*4B with a Wp stride) — descriptor-bound at a fraction of HBM peak
+    (measured ~4.6 ms/pass of pure halo DMA at 1080p). Here one tile's
+    window is a [he, C*we] slice with C*we*4 ≈ 5-16KB contiguous rows, and
+    the in-kernel lane-stacked `concat` disappears — the scratch arrives
+    pre-stacked for the one-hot row-resolve matmul. The duplication
+    (n_tj*we/Wp ≈ 1.9x) is XLA-side sequential copy, cheap vs the win."""
+    c, h, w = planes.shape
+    padded = pad_halo(planes, radius)  # [C, Hp, Wp]
+    he, we = _halo_window(radius)
+    n_tj = (w + ((-w) % _BW)) // _BW
+    cols = jnp.stack(
+        [padded[:, :, j * _BW:j * _BW + we] for j in range(n_tj)],
+        axis=0)  # [n_tj, C, Hp, we]
+    cols = jnp.transpose(cols, (0, 2, 1, 3))  # [n_tj, Hp, C, we]
+    return cols.reshape(n_tj, padded.shape[1], c * we)
+
+
 def pack_center_res(res) -> jnp.ndarray:
     """Reservoirs → the [8K, H, W] plane block the pass kernel race reads:
     pos 3K | color 3K | big_w K | m K."""
@@ -537,7 +593,8 @@ def spatial_pass_pallas(
 
     out = pl.pallas_call(
         functools.partial(_pass_kernel, n_nbr, radius, k,
-                          SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS),
+                          SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS,
+                          grid[1], grid[0] * grid[1]),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
@@ -552,10 +609,10 @@ def spatial_pass_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10 * k, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5, he, we), jnp.float32),
-            pltpu.VMEM((8 * k, he, we), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 5, he, we), jnp.float32),
+            pltpu.VMEM((2, 8 * k, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), cen_res, cen_ctx, gates_pad, res_pad)

@@ -67,8 +67,10 @@ def _mt_occluded_tri(ox, oy, oz, dx, dy, dz, t_max, v0, e1, e2):
     va = (dx * qx + dy * qy + dz * qz) * det
     ta = (e2x * qx + e2y * qy + e2z * qz) * det
     aa = det * det
+    # NOTE no (ua <= aa): redundant — ua >= 0, va >= 0, ua + va <= aa
+    # already imply ua <= aa (aa = det² > 0 inside the gate).
     return ((aa > 1e-18) & (ua >= 0.0) & (va >= 0.0) & (ua + va <= aa)
-            & (ua <= aa) & (ta > 0.0) & (ta < t_max * aa))
+            & (ta > 0.0) & (ta < t_max * aa))
 
 
 def _mt_scalar_tri(ox, oy, oz, dx, dy, dz, v0, e1, e2):
@@ -181,17 +183,16 @@ def _closest_kernel(n_tris: int,
     jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
 
 
-def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
-                occ_ref, occf_ref):
-    """Occlusion with block culling: a triangle block is skipped when no
+def occlusion_into(n_tris: int, trix_ref, aabb_ref, ox, oy, oz,
+                   dx, dy, dz, t_max, occf_ref):
+    """Occlusion of a ray tile with block culling, accumulated into the f32
+    scratch occf_ref (1.0 = occluded): a triangle block is skipped when no
     still-unoccluded ray's [0, t_max] segment overlaps its AABB — and the
-    whole tail of blocks dies once every ray is occluded. occf_ref is a
-    VMEM f32 scratch accumulator (Mosaic cannot carry bools through
-    scf.for; the bool output is written once at the end)."""
-    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
-    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    whole tail of blocks dies once every ray is occluded. The f32 scratch
+    stands in for a bool accumulator (Mosaic cannot carry bools through
+    scf.for). Shared by the any-hit kernel and the fused final-shade kernel
+    (ops/pallas_shade.py)."""
     ix, iy, iz = _inv_dir(dx, dy, dz)
-    t_max = tmax_ref[...]
 
     occf_ref[...] = jnp.zeros(ox.shape, jnp.float32)
 
@@ -219,6 +220,12 @@ def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
         return 0
 
     jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
+
+
+def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
+                occ_ref, occf_ref):
+    occlusion_into(n_tris, trix_ref, aabb_ref, o_ref[0], o_ref[1], o_ref[2],
+                   d_ref[0], d_ref[1], d_ref[2], tmax_ref[...], occf_ref)
     occ_ref[...] = occf_ref[...] > 0.5
 
 

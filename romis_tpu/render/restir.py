@@ -10,6 +10,8 @@ carry, src/main.cpp:65,165).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -318,8 +320,8 @@ def spatial_reuse(
         )
 
         # The pass is memory-bound: gate + receiver ctx planes are packed
-        # and (for gates) halo-padded ONCE per frame; only the 8K reservoir
-        # planes are re-packed/padded per pass.
+        # and (for gates) laid out in halo-column form ONCE per frame; only
+        # the 8K reservoir planes are re-packed per pass.
         cen_ctx = pack_center_ctx(ctx)
         gates_pad = pad_halo(pack_gates(ctx), radius)
         res_planes = None
@@ -369,15 +371,57 @@ def spatial_reuse(
     return reservoirs
 
 
-def final_shade(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
-                features: Features) -> jnp.ndarray:
-    """Final shading (reference finalShading, render_utils.cpp:54-65):
-    per lane, visibility ray × Phong × W, averaged over the K lanes.
-    → [3, H, W]."""
+def _final_shade_xla(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
+                     features: Features) -> jnp.ndarray:
     vis = visibility(ctx.position, reservoirs.pos, geometry)  # [K, H, W]
     shade = phong_shade(ctx, reservoirs.pos, reservoirs.color, features)
     contrib = jnp.where(e(vis), shade, 0.0) * e(reservoirs.big_w)
     return jnp.sum(contrib, axis=0) / reservoirs.k
+
+
+def _final_shade_fused_fwd(ctx, reservoirs, geometry, features):
+    out = _final_shade_fused(ctx, reservoirs, geometry, features)
+    return out, (ctx, reservoirs, geometry)
+
+
+def _final_shade_fused_bwd(features, residuals, ct):
+    # Re-evaluation backward (same pattern as ops/intersect.closest_hit_diff):
+    # the fused kernel has no VJP, so differentiate the XLA formulation —
+    # identical math, visibility stop-gradded in both paths (boolean).
+    ctx, reservoirs, geometry = residuals
+
+    def f(ctx, reservoirs, geometry):
+        return _final_shade_xla(ctx, reservoirs, geometry, features)
+
+    _, vjp = jax.vjp(f, ctx, reservoirs, geometry)
+    return vjp(ct)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _final_shade_fused(ctx, reservoirs, geometry, features):
+    from ..ops.pallas_shade import final_shade_pallas
+    from ..ops.pallas_spatial import pack_center_ctx, pack_center_res
+
+    return final_shade_pallas(
+        pack_center_ctx(ctx), pack_center_res(reservoirs), geometry,
+        reservoirs.k)
+
+
+_final_shade_fused.defvjp(_final_shade_fused_fwd, _final_shade_fused_bwd)
+
+
+def final_shade(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
+                features: Features) -> jnp.ndarray:
+    """Final shading (reference finalShading, render_utils.cpp:54-65):
+    per lane, visibility ray × Phong × W, averaged over the K lanes.
+    → [3, H, W]. On TPU with an on-chip-resident soup the whole phase runs
+    as one fused kernel (ops/pallas_shade.py)."""
+    from ..ops.pallas_trace import fits_pallas
+
+    if (getattr(geometry, "use_pallas", False) and geometry.bvh is None
+            and features.enable_shading and fits_pallas(geometry)):
+        return _final_shade_fused(ctx, reservoirs, geometry, features)
+    return _final_shade_xla(ctx, reservoirs, geometry, features)
 
 
 def render_restir_frame(

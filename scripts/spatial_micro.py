@@ -19,6 +19,12 @@ def main():
     h, w, k = 1080, 1920, 2
     reps = 20
 
+    import romis_tpu.ops.pallas_spatial as ps
+    if os.environ.get("SP_TILE"):
+        bh, bw = (int(x) for x in os.environ["SP_TILE"].split("x"))
+        ps._BH, ps._BW = bh, bw
+        print(f"spatial tile override: {bh}x{bw}")
+
     from romis_tpu.ops.pallas_spatial import (
         pack_gates, pad_halo, spatial_pass_pallas,
     )
@@ -44,10 +50,13 @@ def main():
         t0 = time.perf_counter()
         float(fn(jnp.int32(1), cen_res, cen_ctx))
         t1 = time.perf_counter()
-        float(fn(jnp.int32(2), cen_res, cen_ctx))
-        t2 = time.perf_counter()
-        print(f"n_nbr={n_nbr} r={radius:2d}  compile {t1-t0-(t2-t1):5.1f}s "
-              f"{1000*(t2-t1)/reps:7.2f} ms/pass", flush=True)
+        best = float("inf")
+        for i in range(2, 5):  # min-of-3: tunnel adds ~0-1s per dispatch
+            ta = time.perf_counter()
+            float(fn(jnp.int32(i), cen_res, cen_ctx))
+            best = min(best, time.perf_counter() - ta)
+        print(f"n_nbr={n_nbr} r={radius:2d}  compile {t1-t0-best:5.1f}s "
+              f"{1000*best/reps:7.2f} ms/pass", flush=True)
 
 
 if __name__ == "__main__":

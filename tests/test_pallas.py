@@ -272,6 +272,28 @@ def test_spatial_pass_kernel_matches_combine_semantics():
                                sel_pos * sel_mask, rtol=2e-4, atol=1e-5)
 
 
+def test_fused_final_shade_matches_xla():
+    """Fused visibility+Phong+W kernel (interpret) vs the XLA final shade
+    on a real scene with random reservoir state."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_shade import final_shade_pallas
+    from romis_tpu.ops.pallas_spatial import pack_center_ctx, pack_center_res
+    from romis_tpu.render.restir import _final_shade_xla
+    from helpers import random_reservoirs_and_ctx
+
+    scene = load_prebuilt("cornell_box")
+    h, w, k = 24, 140, 2
+    feats = Features()
+    res, ctx = random_reservoirs_and_ctx(np.random.default_rng(5), h, w, k)
+
+    expect = np.asarray(_final_shade_xla(ctx, res, scene.geometry, feats))
+    got = np.asarray(final_shade_pallas(
+        pack_center_ctx(ctx), pack_center_res(res), scene.geometry, k,
+        interpret=pltpu.InterpretParams()))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-5)
+
+
 def test_custom_vjp_matches_autodiff_gradients():
     """The re-evaluation backward must equal autodiff through the block
     scan (away from selection ties)."""
