@@ -36,11 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 
-# Pixel tile: ONE vreg (8, 128). The WRS step loop carries 10 planes per
-# reservoir lane — at (32, 128) that is 80 vregs of loop carry, which
-# spills to VMEM every step; at (8, 128) the carry is 20 vregs and stays
-# in registers (measured 23.3 → see commit for the number).
-_BH, _BW = 8, 128
+# Pixel tile (bh, 128). Early kernel versions were fastest at one vreg
+# (8, 128) — the WRS carry spilled at larger tiles. After the windowed-
+# gather light fetch and affine synthesis slimmed the loop body, taller
+# tiles win on instruction-level parallelism (more vregs per op, fewer
+# single-vreg dependency stalls): measured at 1080p bh=8: 7.0 ms, 16: 6.0,
+# 24: 5.2, 40: 5.1, 48: 5.7, 64: 5.9. 40 also divides 1080 (no pad).
+_BH, _BW = 40, 128
 
 ZERO_EPSILON = 1e-5
 
@@ -65,8 +67,36 @@ def _u01(bits):
             * (1.0 / 16777216.0))
 
 
+def hoist_unit_view(cx):
+    """Precompute the normalized view direction once per tile (it is
+    per-pixel constant across RIS candidates / reuse streams — hoisting it
+    out of _phong_phat saves ~10 ops per evaluation). Mutates cx."""
+    vx0 = cx["vx"] - cx["px"]
+    vy0 = cx["vy"] - cx["py"]
+    vz0 = cx["vz"] - cx["pz"]
+    vn = jax.lax.rsqrt(jnp.maximum(vx0 * vx0 + vy0 * vy0 + vz0 * vz0, 1e-20))
+    cx["uvx"], cx["uvy"], cx["uvz"] = vx0 * vn, vy0 * vn, vz0 * vn
+    return cx
+
+
+def _pow_int(x, n: int):
+    """x**n for a static positive integer n by repeated squaring (~2 log n
+    mults) — replaces the exp(n*log x) pair when the scene has one shared
+    integer shininess (Geometry.uniform_shin)."""
+    r = None
+    b = x
+    while n:
+        if n & 1:
+            r = b if r is None else r * b
+        n >>= 1
+        if n:
+            b = b * b
+    return r
+
+
 def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
-    """Target PDF ||phong||2 on component planes. cx = dict of ctx planes."""
+    """Target PDF ||phong||2 on component planes. cx = dict of ctx planes,
+    with the unit view precomputed by hoist_unit_view."""
     px, py, pz = cx["px"], cx["py"], cx["pz"]
     nx, ny, nz = cx["nx"], cx["ny"], cx["nz"]
     tlx, tly, tlz = lx - px, ly - py, lz - pz
@@ -76,20 +106,20 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
     ldx, ldy, ldz = tlx * inv_d, tly * inv_d, tlz * inv_d
     dot_nl = nx * ldx + ny * ldy + nz * ldz
 
-    vx0 = cx["vx"] - px
-    vy0 = cx["vy"] - py
-    vz0 = cx["vz"] - pz
-    vn = jax.lax.rsqrt(jnp.maximum(vx0 * vx0 + vy0 * vy0 + vz0 * vz0, 1e-20))
-    vx0, vy0, vz0 = vx0 * vn, vy0 * vn, vz0 * vn
+    vx0, vy0, vz0 = cx["uvx"], cx["uvy"], cx["uvz"]
     rx = 2.0 * dot_nl * nx - ldx
     ry = 2.0 * dot_nl * ny - ldy
     rz = 2.0 * dot_nl * nz - ldz
     rn = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-20))
     cos_t = (rx * vx0 + ry * vy0 + rz * vz0) * rn
 
-    spec_pow = jnp.where(
-        cos_t > 0.0,
-        jnp.exp(cx["shin"] * jnp.log(jnp.maximum(cos_t, 1e-12))), 0.0)
+    cos_safe = jnp.maximum(cos_t, 1e-12)
+    if cx.get("shin_n") is not None:
+        spec_pow = jnp.where(cos_t > 0.0, _pow_int(cos_safe, cx["shin_n"]),
+                             0.0)
+    else:
+        spec_pow = jnp.where(
+            cos_t > 0.0, jnp.exp(cx["shin"] * jnp.log(cos_safe)), 0.0)
     inv_f2 = jnp.where(dist < ZERO_EPSILON, 1.0, 1.0 / dist2)
 
     out_r = (cr * cx["kdx"] * dot_nl + cr * cx["ksx"] * spec_pow) * inv_f2
@@ -103,8 +133,8 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
-                const_cols, affine_segments, seed_ref, ctx_ref, table_t_ref,
-                *out_refs):
+                const_cols, affine_segments, shin_n, seed_ref, ctx_ref,
+                table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
 
@@ -119,7 +149,9 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         "kdx": ctx_ref[9], "kdy": ctx_ref[10], "kdz": ctx_ref[11],
         "ksx": ctx_ref[12], "ksy": ctx_ref[13], "ksz": ctx_ref[14],
         "shin": ctx_ref[15], "valid": ctx_ref[16],
+        "shin_n": shin_n,
     }
+    hoist_unit_view(cx)
 
     # Light components fetched with windowed lane dynamic_gathers: Mosaic's
     # gather indexes within one 128-lane vreg, so each VARYING component is
@@ -301,6 +333,7 @@ def gen_canonical_samples_pallas(
     lights,
     num_lights: int,
     features: Features,
+    uniform_shin: float = None,
     interpret: bool = False,
 ) -> Reservoirs:
     """Fused-RIS entry with the gen_canonical_samples contract (different,
@@ -336,7 +369,8 @@ def gen_canonical_samples_pallas(
     outs = pl.pallas_call(
         functools.partial(_ris_kernel, s, k, num_lights,
                           tuple(float(c) for c in lane_counts),
-                          const_cols, affine_segments),
+                          const_cols, affine_segments,
+                          int(uniform_shin) if uniform_shin else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]

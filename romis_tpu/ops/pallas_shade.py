@@ -27,10 +27,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_trace import (
+    TRI_UNROLL,
+    _blocks,
     _block_aabbs,
+    _inv_dir,
+    _mt_occluded_tri,
     _pad_hw,
+    _slab_test,
     _tri_columns,
-    occlusion_into,
 )
 
 _BH, _BW = 32, 256
@@ -46,12 +50,60 @@ def _safe_norm3(x, y, z, eps=1e-30):
     return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
 
 
-def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
-                  out_ref, occf_ref):
+def _occlusion_k_into(n_tris: int, k: int, trix_ref, aabb_ref, rays,
+                      occf_ref):
+    """Occlusion of K ray tiles in ONE triangle-block loop, accumulated into
+    occf_ref [K, bh, bw] (1.0 = occluded). Sharing the loop across lanes
+    amortizes the ~30 scalar SMEM fetches per triangle over all K lanes and
+    interleaves K independent dependency chains for the VPU. A block is
+    processed when ANY lane's still-unoccluded rays overlap its AABB
+    (per-lane culling would re-fetch the triangles per lane — a net loss at
+    K=2). rays = list of (ox, oy, oz, dx, dy, dz, t_max) per lane."""
+    inv = [_inv_dir(r[3], r[4], r[5]) for r in rays]
+
+    for lane in range(k):
+        occf_ref[lane] = jnp.zeros(rays[lane][0].shape, jnp.float32)
+
+    def body(b, _):
+        occ = [occf_ref[lane] for lane in range(k)]
+        live = None
+        for lane in range(k):
+            ox, oy, oz, _, _, _, t_max = rays[lane]
+            tn, tf = _slab_test(aabb_ref, b, ox, oy, oz, *inv[lane])
+            ll = (tf >= tn) & (tf > 0.0) & (tn < t_max) & (occ[lane] < 0.5)
+            live = ll if live is None else (live | ll)
+
+        @pl.when(jnp.any(live))
+        def _process():
+            acc = list(occ)
+            for i in range(TRI_UNROLL):
+                j = b * TRI_UNROLL + i
+                v0 = (trix_ref[0, j], trix_ref[1, j], trix_ref[2, j])
+                e1 = (trix_ref[3, j], trix_ref[4, j], trix_ref[5, j])
+                e2 = (trix_ref[6, j], trix_ref[7, j], trix_ref[8, j])
+                active = trix_ref[9, j] > 0.0
+                for lane in range(k):
+                    ox, oy, oz, dx, dy, dz, t_max = rays[lane]
+                    hit = (_mt_occluded_tri(ox, oy, oz, dx, dy, dz, t_max,
+                                            v0, e1, e2) & active)
+                    acc[lane] = jnp.maximum(acc[lane],
+                                            hit.astype(jnp.float32))
+            for lane in range(k):
+                occf_ref[lane] = acc[lane]
+
+        return 0
+
+    jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
+
+
+def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
+                  res_ref, out_ref, occf_ref):
     """ctx_ref: [18, bh, bw] pack_center_ctx planes (position3 | normal3 |
-    view3 | kd3 | ks3 | shin | depth | valid). res_ref: [8K, bh, bw]
-    pack_center_res planes (pos 3K | color 3K | big_w K | m K). Output
-    [3, bh, bw] pre-tone-map color."""
+    view3 | kd3 | ks3 | shin | depth | valid). res_ref: [10K, bh, bw]
+    pack_pixel_planes reservoir order (pos 3K | color 3K | w_sum K | m K |
+    big_w K | chosen_w K — the spatial pass's own output layout, so no
+    re-pack copy between the passes and the shade). Output [3, bh, bw]
+    pre-tone-map color."""
     px, py, pz = ctx_ref[0], ctx_ref[1], ctx_ref[2]
     nx, ny, nz = ctx_ref[3], ctx_ref[4], ctx_ref[5]
 
@@ -69,14 +121,14 @@ def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
 
     acc = [jnp.zeros(px.shape, jnp.float32) for _ in range(3)]
 
+    # ===== per-lane ray setup (ops/wrs.visibility semantics) =====
+    rays = []
+    lane_state = []
     for lane in range(k):
         lx = res_ref[3 * lane]
         ly = res_ref[3 * lane + 1]
         lz = res_ref[3 * lane + 2]
-        cr = res_ref[3 * k + 3 * lane]
-        cg = res_ref[3 * k + 3 * lane + 1]
-        cb = res_ref[3 * k + 3 * lane + 2]
-        big_w = res_ref[6 * k + lane]
+        big_w = res_ref[8 * k + lane]
 
         tox, toy, toz = lx - px, ly - py, lz - pz
 
@@ -88,7 +140,6 @@ def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
         plx, ply, plz = tox * pinv, toy * pinv, toz * pinv
         dot_nl = nx * plx + ny * ply + nz * plz
 
-        # ===== visibility (ops/wrs.visibility semantics) =====
         vdist = _safe_norm3(tox, toy, toz)
         dinv = jnp.reciprocal(jnp.maximum(vdist, 1e-20))
         ldx, ldy, ldz = tox * dinv, toy * dinv, toz * dinv
@@ -102,9 +153,19 @@ def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
         # blocks alive in the culling loop.
         live = valid & (dot_nl >= 0.0) & (big_w != 0.0)
         t_max = jnp.where(live, t_max, 0.0)
-        occlusion_into(n_tris, trix_ref, aabb_ref, ox, oy, oz,
-                       ldx, ldy, ldz, t_max, occf_ref)
-        vis = (occf_ref[...] < 0.5) | (vdist <= _SHADOW_EPS)
+        rays.append((ox, oy, oz, ldx, ldy, ldz, t_max))
+        lane_state.append((big_w, dist, plx, ply, plz, dot_nl, vdist))
+
+    # ===== one shared occlusion loop over all K lanes =====
+    _occlusion_k_into(n_tris, k, trix_ref, aabb_ref, rays, occf_ref)
+
+    # ===== Phong (ops/shading.phong_shade semantics) =====
+    for lane in range(k):
+        big_w, dist, plx, ply, plz, dot_nl, vdist = lane_state[lane]
+        cr = res_ref[3 * k + 3 * lane]
+        cg = res_ref[3 * k + 3 * lane + 1]
+        cb = res_ref[3 * k + 3 * lane + 2]
+        vis = (occf_ref[lane] < 0.5) | (vdist <= _SHADOW_EPS)
 
         rx0 = 2.0 * dot_nl * nx - plx
         ry0 = 2.0 * dot_nl * ny - ply
@@ -113,8 +174,13 @@ def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
         cos_t = (rx0 * vx + ry0 * vy + rz0 * vz) * rinv
 
         cos_safe = jnp.maximum(cos_t, 1e-12)
-        spec_pow = jnp.where(
-            cos_t > 0.0, jnp.exp(shin * jnp.log(cos_safe)), 0.0)
+        if shin_n is not None:
+            from .pallas_ris import _pow_int
+            spec_pow = jnp.where(cos_t > 0.0, _pow_int(cos_safe, shin_n),
+                                 0.0)
+        else:
+            spec_pow = jnp.where(
+                cos_t > 0.0, jnp.exp(shin * jnp.log(cos_safe)), 0.0)
 
         falloff = jnp.where(dist < _ZERO_EPS, 1.0, dist)
         inv_f2 = jnp.reciprocal(falloff * falloff)
@@ -135,13 +201,14 @@ def _shade_kernel(n_tris: int, k: int, trix_ref, aabb_ref, ctx_ref, res_ref,
 
 def final_shade_pallas(
     ctx_planes: jnp.ndarray,  # [18, H, W] pack_center_ctx
-    res_planes: jnp.ndarray,  # [8K, H, W] pack_center_res
+    res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
     geometry,
     k: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused visibility x Phong x W lane average → color [3, H, W]
     (pre-tone-map)."""
+    uniform_shin = getattr(geometry, "uniform_shin", None)
     ctx_p, h, w = _pad_hw(ctx_planes, _BH, _BW)
     res_p, _, _ = _pad_hw(res_planes, _BH, _BW)
     hp, wp = ctx_p.shape[-2:]
@@ -151,20 +218,21 @@ def final_shade_pallas(
 
     grid = (hp // _BH, wp // _BW)
     out = pl.pallas_call(
-        functools.partial(_shade_kernel, geometry.num_tris, k),
+        functools.partial(_shade_kernel, geometry.num_tris, k,
+                          int(uniform_shin) if uniform_shin else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # triangles
             pl.BlockSpec(memory_space=pltpu.SMEM),  # block AABBs
             pl.BlockSpec((18, _BH, _BW), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * k, _BH, _BW), lambda i, j: (0, i, j),
+            pl.BlockSpec((10 * k, _BH, _BW), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, _BH, _BW), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_BH, _BW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((k, _BH, _BW), jnp.float32)],
         interpret=interpret,
     )(trix, aabbs, ctx_p, res_p)
     return out[:, :h, :w]

@@ -44,12 +44,22 @@ def _u01(bits):
             * (1.0 / 16777216.0))
 
 
-def _halo_window(radius: int):
+def _halo_window(radius: int, bh: int = None, bw: int = None):
     """Halo window size, rounded up so VMEM DMA slices stay tiling-aligned
     (sublanes multiple of 8, lanes multiple of 128)."""
-    he = -((-(_BH + 2 * radius)) // 8) * 8
-    we = -((-(_BW + 2 * radius)) // 128) * 128
+    he = -((-((bh or _BH) + 2 * radius)) // 8) * 8
+    we = -((-((bw or _BW) + 2 * radius)) // 128) * 128
     return he, we
+
+
+def pick_tile_h(h: int) -> int:
+    """Tile height for the pass kernel: prefer one that divides h so the
+    wrapper's alignment pad (a full-array XLA copy, ~1.5 ms at 1080p)
+    disappears — 1080 = 27*40."""
+    for bh in (32, 40, 48, 24, 56, 64, 16, 8):
+        if h % bh == 0:
+            return bh
+    return _BH
 
 
 def _draw_offsets(radius: int):
@@ -292,8 +302,8 @@ def halo_offset_gather_pallas(
 
 
 def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
-                 normal_cos: float, n_tj: int, n_steps: int,
-                 seed_ref, cen_res_ref, cen_ctx_ref,
+                 normal_cos: float, n_tj: int, n_steps: int, bh: int,
+                 shin_n, seed_ref, cen_res_ref, cen_ctx_ref,
                  gates_hbm, res_hbm, out_ref, gates_scr, res_scr, sem_g,
                  sem_r):
     """One whole spatial-reuse pass per tile: neighbour gather + similarity
@@ -305,14 +315,15 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     gates render_utils.cpp:113-118).
 
     Input diet (the pass is memory-bound — see scripts/spatial_micro.py):
-    only the planes neighbours actually read are halo-DMA'd — gates_hbm
-    [5, Hp, Wp] (normal3, depth, valid; padded ONCE per frame, reused by
-    every pass) and res_hbm [8K, Hp, Wp] (pos 3K, color 3K, big_w K, m K;
-    padded per pass). Everything the receiver pixel needs arrives through
-    the pipelined center blocks cen_res_ref [8K, bh, bw] / cen_ctx_ref
-    [18, bh, bw] (position3, normal3, view3, kd3, ks3, shin, depth, valid)
-    — no in-kernel center extraction, and kd/ks/shin/view/position are
-    never halo'd. Outputs are the 10K reservoir planes (pack order).
+    gates_hbm [5, Hp, Wp] (normal3, depth, valid; padded ONCE per frame —
+    XLA CSE dedups the identical pad across passes) and res_hbm
+    [10K, Hp, Wp] are halo-DMA'd; reservoir state rides the SAME 10K-plane
+    block (pack_pixel_planes reservoir order: pos 3K | color 3K | w_sum K |
+    m K | big_w K | chosen_w K) as center input, halo source, and output,
+    so pass N+1 consumes pass N's output with NO re-pack (each XLA copy of
+    a 1080p plane set costs ~1.5 ms). cen_ctx_ref [18, bh, bw] (position3,
+    normal3, view3, kd3, ks3, shin, depth, valid) is the receiver context;
+    kd/ks/shin/view/position are never halo'd.
 
     The halo DMA is DOUBLE-BUFFERED across grid steps (scratch leading axis
     2): tile N+1's window streams in while tile N computes — the un-overlapped
@@ -323,8 +334,8 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     reverted: the DMA is already hidden, and its XLA-side prep cost 2-4 ms.)"""
     from .pallas_ris import _phong_phat
 
-    bh, bw = _BH, _BW
-    he, we = _halo_window(radius)
+    bw = _BW
+    he, we = _halo_window(radius, bh, bw)
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -370,7 +381,10 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
         "kdz": cen_ctx_ref[11], "ksx": cen_ctx_ref[12],
         "ksy": cen_ctx_ref[13], "ksz": cen_ctx_ref[14],
         "shin": cen_ctx_ref[15], "valid": cen_ctx_ref[17],
+        "shin_n": shin_n,
     }
+    from .pallas_ris import hoist_unit_view
+    hoist_unit_view(cx)
     recv_depth = cen_ctx_ref[16]
     recv_valid = cx["valid"] > 0.5
 
@@ -409,7 +423,7 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
             lane, ones,
             tuple(cen_res_ref[3 * lane + c] for c in range(3)),
             tuple(cen_res_ref[3 * k + 3 * lane + c] for c in range(3)),
-            cen_res_ref[6 * k + lane], cen_res_ref[7 * k + lane],
+            cen_res_ref[8 * k + lane], cen_res_ref[7 * k + lane],
             ug_self[lane])
 
     # Neighbour streams. Offset factorisation for this kernel: dy is
@@ -426,11 +440,16 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     dma_r.wait()
     g_scr = gates_scr.at[slot]
     r_scr = res_scr.at[slot]
-    # Lane-stacked slot order: gates (normal3, depth, valid) then the 8K
-    # reservoir planes (pos 3K, color 3K, big_w K, m K — cen_res layout).
+    # Lane-stacked slot order: gates (normal3, depth, valid) then the
+    # reservoir planes the streams read, re-ordered from the 10K block to
+    # (pos 3K, color 3K, big_w K, m K); w_sum/chosen_w ride the DMA unused
+    # (+2K planes ≈ 12% halo bytes, hidden by the double buffering — the
+    # re-pack copy they save is not).
     stacked = jnp.concatenate(
         [g_scr[i] for i in range(5)]
-        + [r_scr[i] for i in range(8 * k)], axis=1)
+        + [r_scr[i] for i in range(6 * k)]
+        + [r_scr[8 * k + lane] for lane in range(k)]
+        + [r_scr[7 * k + lane] for lane in range(k)], axis=1)
 
     iota_he = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 1)
     row_plus_r = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 0) + radius
@@ -496,19 +515,22 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
         out_ref[9 * k + lane] = sel[lane][6]
 
 
-def pad_halo(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
+def pad_halo(planes: jnp.ndarray, radius: int, bh: int = None,
+             bw: int = None) -> jnp.ndarray:
     """Edge-pad [C, H, W] planes for the halo DMA windows (border clamp =
     edge-padded lookup; extra rows/cols keep the last tile's aligned window
     in bounds, never selected by any index)."""
+    bh = bh or _BH
+    bw = bw or _BW
     _, h, w = planes.shape
-    align_h = (-h) % _BH
-    align_w = (-w) % _BW
-    he, we = _halo_window(radius)
+    align_h = (-h) % bh
+    align_w = (-w) % bw
+    he, we = _halo_window(radius, bh, bw)
     return jnp.pad(
         planes,
         ((0, 0),
-         (radius, align_h + (he - _BH - radius)),
-         (radius, align_w + (we - _BW - radius))),
+         (radius, align_h + (he - bh - radius)),
+         (radius, align_w + (we - bw - radius))),
         mode="edge")
 
 
@@ -566,54 +588,63 @@ def pack_gates(ctx) -> jnp.ndarray:
 
 def spatial_pass_pallas(
     seed,
-    res_pad: jnp.ndarray,  # [8K, Hp, Wp] pack_center_res, pad_halo'd
-    gates_pad: jnp.ndarray,  # [5, Hp, Wp] pack_gates, pad_halo'd
-    cen_res: jnp.ndarray,  # [8K, H, W] pack_center_res
+    res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
+    gates: jnp.ndarray,  # [5, H, W] pack_gates
     cen_ctx: jnp.ndarray,  # [18, H, W] pack_center_ctx
     k: int,
     n_nbr: int,
     radius: int,
+    uniform_shin: float = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused spatial-reuse pass → updated reservoir planes [10K, H, W]
-    (pack_pixel_planes reservoir order)."""
+    (pack_pixel_planes reservoir order — feed the result straight back in
+    for the next pass). Halo pads are built here; the identical gates pad
+    is CSE'd by XLA across passes."""
     if radius > 64:
         raise ValueError("fused spatial pass supports radius <= 64")
     _, h, w = cen_ctx.shape
-    align_h = (-h) % _BH
+    bh = pick_tile_h(h)
+    align_h = (-h) % bh
     align_w = (-w) % _BW
-    he, we = _halo_window(radius)
+    he, we = _halo_window(radius, bh)
+
+    res_pad = pad_halo(res_planes, radius, bh)
+    gates_pad = pad_halo(gates, radius, bh)
     if align_h or align_w:
-        cen_res = jnp.pad(cen_res, ((0, 0), (0, align_h), (0, align_w)))
+        res_planes = jnp.pad(res_planes,
+                             ((0, 0), (0, align_h), (0, align_w)))
         cen_ctx = jnp.pad(cen_ctx, ((0, 0), (0, align_h), (0, align_w)))
     hp, wp = h + align_h, w + align_w
-    grid = (hp // _BH, wp // _BW)
+    grid = (hp // bh, wp // _BW)
 
     from ..render.restir import SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS
 
     out = pl.pallas_call(
         functools.partial(_pass_kernel, n_nbr, radius, k,
                           SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS,
-                          grid[1], grid[0] * grid[1]),
+                          grid[1], grid[0] * grid[1], bh,
+                          int(uniform_shin) if uniform_shin else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec((8 * k, _BH, _BW), lambda i, j: (0, i, j),
+            pl.BlockSpec((10 * k, bh, _BW), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),  # center reservoirs
-            pl.BlockSpec((18, _BH, _BW), lambda i, j: (0, i, j),
+            pl.BlockSpec((18, bh, _BW), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),  # center ctx
             pl.BlockSpec(memory_space=pl.ANY),  # gate halo planes (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # reservoir halo planes
         ],
-        out_specs=pl.BlockSpec((10 * k, _BH, _BW), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((10 * k, bh, _BW), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10 * k, hp, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 5, he, we), jnp.float32),
-            pltpu.VMEM((2, 8 * k, he, we), jnp.float32),
+            pltpu.VMEM((2, 10 * k, he, we), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), cen_res, cen_ctx, gates_pad, res_pad)
+    )(jnp.asarray([seed], jnp.int32), res_planes, cen_ctx, gates_pad,
+      res_pad)
     return out[:, :h, :w]

@@ -111,8 +111,9 @@ def gen_canonical_samples(
         from .pallas_ris import gen_canonical_samples_pallas
 
         seed = jax.random.key_data(key).astype(jnp.int32).sum()
-        res = gen_canonical_samples_pallas(seed, ctx, lights, num_lights,
-                                           features)
+        res = gen_canonical_samples_pallas(
+            seed, ctx, lights, num_lights, features,
+            uniform_shin=getattr(geometry, "uniform_shin", None))
         if features.initial_samples_visibility_check:
             vis = visibility(ctx.position, res.pos, geometry)
             res = res.replace(big_w=jnp.where(vis, res.big_w, 0.0))

@@ -273,6 +273,17 @@ def unpack_pixel_planes(g: jnp.ndarray, k: int):
     return res, ctx
 
 
+def pack_reservoir_planes(res: Reservoirs) -> jnp.ndarray:
+    """Reservoirs → the [10K, H, W] plane block of pack_pixel_planes
+    (reservoir part only): pos 3K | color 3K | w_sum K | m K | big_w K |
+    chosen_w K."""
+    hw = res.w_sum.shape[-2:]
+    return jnp.concatenate([
+        res.pos.reshape((-1,) + hw), res.color.reshape((-1,) + hw),
+        res.w_sum, res.m, res.big_w, res.chosen_w,
+    ], axis=0)
+
+
 def unpack_reservoir_planes(g: jnp.ndarray, k: int) -> Reservoirs:
     """[10K, H, W] reservoir-plane block (pack_pixel_planes order) →
     Reservoirs."""
@@ -315,26 +326,22 @@ def spatial_reuse(
             and jax.default_backend() == "tpu"
             and not features.unbiased_combination):
         from ..ops.pallas_spatial import (
-            pack_center_ctx, pack_center_res, pack_gates, pad_halo,
-            spatial_pass_pallas,
+            pack_center_ctx, pack_gates, spatial_pass_pallas,
         )
 
-        # The pass is memory-bound: gate + receiver ctx planes are packed
-        # and (for gates) laid out in halo-column form ONCE per frame; only
-        # the 8K reservoir planes are re-packed per pass.
+        # The pass is memory-bound (~1.5 ms per full-array XLA copy at
+        # 1080p): reservoir state stays in the kernel's own 10K-plane
+        # layout across passes (no re-pack), and the gate/ctx packs happen
+        # once per frame.
         cen_ctx = pack_center_ctx(ctx)
-        gates_pad = pad_halo(pack_gates(ctx), radius)
-        res_planes = None
+        gates = pack_gates(ctx)
+        res_planes = pack_reservoir_planes(reservoirs)
         for p in range(features.spatial_resampling_passes):
             kp = jax.random.fold_in(key, p)
             seed = jax.random.key_data(kp).astype(jnp.int32).sum()
-            cen_res = (pack_center_res(reservoirs) if res_planes is None
-                       else jnp.concatenate(
-                           [res_planes[:6 * k], res_planes[8 * k:9 * k],
-                            res_planes[7 * k:8 * k]], axis=0))
             res_planes = spatial_pass_pallas(
-                seed, pad_halo(cen_res, radius), gates_pad, cen_res,
-                cen_ctx, k, k_n, radius)
+                seed, res_planes, gates, cen_ctx, k, k_n, radius,
+                uniform_shin=getattr(geometry, "uniform_shin", None))
         return unpack_reservoir_planes(res_planes, k)
 
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]
@@ -400,10 +407,12 @@ def _final_shade_fused_bwd(features, residuals, ct):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _final_shade_fused(ctx, reservoirs, geometry, features):
     from ..ops.pallas_shade import final_shade_pallas
-    from ..ops.pallas_spatial import pack_center_ctx, pack_center_res
+    from ..ops.pallas_spatial import pack_center_ctx
 
+    # pack(unpack(x)) of the spatial pass's own output layout — XLA's
+    # concat-of-slices simplification elides the round trip.
     return final_shade_pallas(
-        pack_center_ctx(ctx), pack_center_res(reservoirs), geometry,
+        pack_center_ctx(ctx), pack_reservoir_planes(reservoirs), geometry,
         reservoirs.k)
 
 

@@ -82,6 +82,13 @@ class Geometry:
     # geometry.replace(use_pallas=True) on TPU.
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
+    # Host-detected specialization (static): when every material shares one
+    # integer shininess (e.g. the nightclub's Ns=250), the Pallas kernels
+    # compute the specular pow by repeated squaring (~12 mults) instead of
+    # exp(shin*log(cos)) — two transcendentals per evaluation, 32+
+    # evaluations per pixel per frame in the RIS kernel alone.
+    uniform_shin: float = struct.field(pytree_node=False, default=None)
+
     @property
     def num_tris(self) -> int:
         return self.v0.shape[0]
@@ -190,8 +197,21 @@ def build_geometry(submeshes: list[SubMesh]) -> Geometry:
         tex_data=jnp.asarray(tex), tex_size=jnp.asarray(sizes),
         tri_rows=jnp.zeros(()), attr_rows=jnp.zeros(()),
         mat_rows=jnp.zeros(()),
+        uniform_shin=_detect_uniform_shin(mat_sh),
     )
     return repack_rows(g)
+
+
+def _detect_uniform_shin(mat_sh) -> float:
+    """One shared integer shininess across all materials, else None
+    (see Geometry.uniform_shin)."""
+    vals = {float(v) for v in np.asarray(mat_sh).ravel()}
+    if len(vals) != 1:
+        return None
+    v = vals.pop()
+    if v == round(v) and 1.0 <= v <= 1024.0:
+        return v
+    return None
 
 
 def pack_tri_rows(v0, e1, e2, active):

@@ -25,35 +25,30 @@ def main():
         ps._BH, ps._BW = bh, bw
         print(f"spatial tile override: {bh}x{bw}")
 
-    from romis_tpu.ops.pallas_spatial import (
-        pack_gates, pad_halo, spatial_pass_pallas,
-    )
+    from romis_tpu.ops.pallas_spatial import spatial_pass_pallas
 
     key = jax.random.PRNGKey(0)
-    cen_res = jax.random.uniform(key, (8 * k, h, w), jnp.float32)
+    res_planes = jax.random.uniform(key, (10 * k, h, w), jnp.float32)
     cen_ctx = jax.random.uniform(jax.random.fold_in(key, 1), (18, h, w),
                                  jnp.float32)
 
     for n_nbr, radius in [(0, 10), (1, 10), (5, 10)]:
-        def run(seed0, cen_res, cen_ctx):
-            gates_pad = pad_halo(cen_ctx[3:8], radius)
-
+        def run(seed0, res_planes, cen_ctx):
             def f(s, _):
                 out = spatial_pass_pallas(
-                    s, pad_halo(cen_res, radius), gates_pad, cen_res,
-                    cen_ctx, k, n_nbr, radius)
+                    s, res_planes, cen_ctx[3:8], cen_ctx, k, n_nbr, radius)
                 return s + 1, jnp.sum(out[0])
             _, sums = jax.lax.scan(f, seed0, None, length=reps)
             return jnp.sum(sums)
 
         fn = jax.jit(run, static_argnums=())
         t0 = time.perf_counter()
-        float(fn(jnp.int32(1), cen_res, cen_ctx))
+        float(fn(jnp.int32(1), res_planes, cen_ctx))
         t1 = time.perf_counter()
         best = float("inf")
         for i in range(2, 5):  # min-of-3: tunnel adds ~0-1s per dispatch
             ta = time.perf_counter()
-            float(fn(jnp.int32(i), cen_res, cen_ctx))
+            float(fn(jnp.int32(i), res_planes, cen_ctx))
             best = min(best, time.perf_counter() - ta)
         print(f"n_nbr={n_nbr} r={radius:2d}  compile {t1-t0-best:5.1f}s "
               f"{1000*best/reps:7.2f} ms/pass", flush=True)

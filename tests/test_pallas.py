@@ -200,13 +200,12 @@ def test_spatial_pass_kernel_matches_combine_semantics():
     from jax.experimental.pallas import tpu as pltpu
     from romis_tpu.core.features import Features
     from romis_tpu.ops.pallas_spatial import (
-        pack_center_ctx, pack_center_res, pack_gates, pad_halo,
-        spatial_pass_pallas,
+        pack_center_ctx, pack_gates, spatial_pass_pallas,
     )
     from romis_tpu.ops.shading import target_pdf
     from romis_tpu.render.restir import (
         SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS, pack_pixel_planes,
-        unpack_pixel_planes, unpack_reservoir_planes,
+        pack_reservoir_planes, unpack_pixel_planes, unpack_reservoir_planes,
     )
     from helpers import random_reservoirs_and_ctx
 
@@ -215,10 +214,8 @@ def test_spatial_pass_kernel_matches_combine_semantics():
     res, ctx = random_reservoirs_and_ctx(np.random.default_rng(3), h, w, k)
 
     planes = pack_pixel_planes(res, ctx)
-    cen_res = pack_center_res(res)
     got = unpack_reservoir_planes(
-        spatial_pass_pallas(5, pad_halo(cen_res, r),
-                            pad_halo(pack_gates(ctx), r), cen_res,
+        spatial_pass_pallas(5, pack_reservoir_planes(res), pack_gates(ctx),
                             pack_center_ctx(ctx), k, n_nbr, r,
                             interpret=pltpu.InterpretParams()), k)
 
@@ -278,8 +275,10 @@ def test_fused_final_shade_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
     from romis_tpu.core.features import Features
     from romis_tpu.ops.pallas_shade import final_shade_pallas
-    from romis_tpu.ops.pallas_spatial import pack_center_ctx, pack_center_res
-    from romis_tpu.render.restir import _final_shade_xla
+    from romis_tpu.ops.pallas_spatial import pack_center_ctx
+    from romis_tpu.render.restir import (
+        _final_shade_xla, pack_reservoir_planes,
+    )
     from helpers import random_reservoirs_and_ctx
 
     scene = load_prebuilt("cornell_box")
@@ -289,7 +288,52 @@ def test_fused_final_shade_matches_xla():
 
     expect = np.asarray(_final_shade_xla(ctx, res, scene.geometry, feats))
     got = np.asarray(final_shade_pallas(
-        pack_center_ctx(ctx), pack_center_res(res), scene.geometry, k,
+        pack_center_ctx(ctx), pack_reservoir_planes(res), scene.geometry, k,
+        interpret=pltpu.InterpretParams()))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-5)
+
+
+def test_uniform_shin_pow_specialization():
+    """Repeated-squaring specular pow (Geometry.uniform_shin) must match the
+    exp/log path within f32 rounding, across the magnitudes specular cosines
+    take, and the host detection must fire only for one shared integer
+    shininess."""
+    from romis_tpu.ops.pallas_ris import _pow_int
+    from romis_tpu.scene.scene import _detect_uniform_shin
+
+    x = jnp.asarray(
+        np.concatenate([np.random.default_rng(0).uniform(1e-12, 1.0, 4096),
+                        [1e-12, 1.0, 0.999999, 1e-3]]).astype(np.float32))
+    for n in (1, 2, 4, 10, 250, 1024):
+        got = np.asarray(_pow_int(x, n))
+        expect = np.asarray(jnp.exp(float(n) * jnp.log(x)))
+        np.testing.assert_allclose(got, expect, rtol=5e-5, atol=1e-38)
+
+    assert _detect_uniform_shin(np.array([250.0, 250.0])) == 250.0
+    assert _detect_uniform_shin(np.array([250.0, 10.0])) is None
+    assert _detect_uniform_shin(np.array([10.5, 10.5])) is None
+    assert _detect_uniform_shin(np.array([0.0])) is None
+
+    # End-to-end: the fused shade kernel with uniform_shin set vs the XLA
+    # path on a ctx whose shininess plane equals that constant.
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_shade import final_shade_pallas
+    from romis_tpu.ops.pallas_spatial import pack_center_ctx
+    from romis_tpu.render.restir import (
+        _final_shade_xla, pack_reservoir_planes,
+    )
+    from helpers import random_reservoirs_and_ctx
+
+    scene = load_prebuilt("cornell_box")
+    h, w, k = 24, 140, 2
+    res, ctx = random_reservoirs_and_ctx(np.random.default_rng(6), h, w, k)
+    ctx = ctx.replace(shininess=jnp.full((h, w), 250.0))
+    geo = scene.geometry.replace(uniform_shin=250.0)
+
+    expect = np.asarray(_final_shade_xla(ctx, res, geo, Features()))
+    got = np.asarray(final_shade_pallas(
+        pack_center_ctx(ctx), pack_reservoir_planes(res), geo, k,
         interpret=pltpu.InterpretParams()))
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-5)
 
