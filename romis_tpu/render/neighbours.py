@@ -46,6 +46,20 @@ def _similar(ctx: ShadeCtx, nbr_ctx: ShadeCtx, features: Features):
     return ok
 
 
+def _similar_planes(ctx: ShadeCtx, g5, features: Features):
+    """_similar against a gathered [5, H, W] gate stack (geom_id, depth,
+    normal3) instead of a full ShadeCtx."""
+    ok = jnp.ones(g5.shape[-2:], bool)
+    if features.neighbour_same_geometry:
+        ok &= g5[0].astype(jnp.int32) == ctx.geom_id
+    depth_frac = jnp.abs(1.0 - ctx.depth_t / jnp.maximum(g5[1], 1e-20))
+    ok &= depth_frac <= features.neighbour_max_depth_difference_fraction
+    max_cos = np.cos(features.neighbour_max_normal_angle_difference_radians)
+    ok &= (ctx.normal[0] * g5[2] + ctx.normal[1] * g5[3]
+           + ctx.normal[2] * g5[4]) >= max_cos
+    return ok
+
+
 def select_neighbour_indices(
     key,
     ctx: ShadeCtx,
@@ -109,10 +123,22 @@ def select_neighbour_indices(
         NeighbourSelectionStrategy.EQUAL_SIMILAR_DISSIMILAR,
     )
 
+    # The similarity inputs of every box offset are SHIFTED copies of the
+    # same 5 planes (geom_id, depth, normal3). Fetch them with
+    # lax.dynamic_slice out of one padded stack — bandwidth-bound copies —
+    # instead of per-offset XLA gathers, which are HBM-latency-bound at
+    # ~53 ns/index and made this phase cost seconds per frame (the gather
+    # also dragged all ~20 ShadeCtx planes, not 5).
+    gate = jnp.concatenate([
+        ctx.geom_id.astype(jnp.float32)[None], ctx.depth_t[None], ctx.normal,
+    ], axis=0)
+    gate_pad = jnp.pad(gate, ((0, 0), (radius, radius), (radius, radius)))
+
     def block_scores(blk_key, offs, valid_mask):
         """One offset block → (packed idx [B, H, W], similar, in_bounds,
         gumbel). Only in-bounds coords are classified (the reference iterates
-        the window clamped to the screen, neighbour_selection.cpp:55-58)."""
+        the window clamped to the screen, neighbour_selection.cpp:55-58) —
+        out-of-screen lanes read zero-pad but are masked by in_b."""
         ny = rows[None] + offs[:, 0, None, None]  # [B, H, W]
         nx = cols[None] + offs[:, 1, None, None]
         in_b = ((ny >= 0) & (ny < height) & (nx >= 0) & (nx < width)
@@ -120,19 +146,34 @@ def select_neighbour_indices(
         nyc = jnp.clip(ny, 0, height - 1)
         nxc = jnp.clip(nx, 0, width - 1)
         idx = nyc * width + nxc
-        nbr_ctx = jax.tree.map(lambda a: a[..., nyc, nxc], ctx)
-        nbr_ctx = jax.tree.map(
-            lambda a: jnp.moveaxis(a, -3, 0) if a.ndim == 4 else a, nbr_ctx)
-        sim = _similar(ctx, nbr_ctx, features)
+        sim = jnp.stack([
+            _similar_planes(
+                ctx,
+                jax.lax.dynamic_slice(
+                    gate_pad, (0, radius + offs[b, 0], radius + offs[b, 1]),
+                    (5, height, width)),
+                features)
+            for b in range(offs.shape[0])
+        ], axis=0)
         g = jax.random.gumbel(blk_key, sim.shape)
         return idx, sim, in_b, g
 
     def topd_merge(scores_a, idx_a, scores_b, idx_b):
+        # Top-D of D+B items per pixel by repeated max-extraction with
+        # one-hot selects — argsort + take_along_axis along axis 0 lower to
+        # per-pixel sorts/gathers on TPU and dominated this phase's cost.
         s = jnp.concatenate([scores_a, scores_b], axis=0)
         i = jnp.concatenate([idx_a, idx_b], axis=0)
-        order = jnp.argsort(-s, axis=0)[:d]
-        return (jnp.take_along_axis(s, order, axis=0),
-                jnp.take_along_axis(i, order, axis=0))
+        n = s.shape[0]
+        lane = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+        out_s, out_i = [], []
+        for _ in range(d):
+            am = jnp.argmax(s, axis=0)  # first max wins (stable)
+            sel = lane == am[None]
+            out_s.append(jnp.max(s, axis=0))
+            out_i.append(jnp.sum(jnp.where(sel, i, 0), axis=0))
+            s = jnp.where(sel, -jnp.inf, s)
+        return jnp.stack(out_s, axis=0), jnp.stack(out_i, axis=0)
 
     def unpack(idx):
         return idx // width, idx % width

@@ -153,8 +153,11 @@ def temporal_reuse(
             (rows >= -0.5) & (rows <= height - 0.5)
             & (cols >= -0.5) & (cols <= width - 0.5) & in_front
         )
-        pred = jax.tree.map(lambda a: a[..., ri, ci], prev.reservoirs)
-        pred_ctx = jax.tree.map(lambda a: a[..., ri, ci], prev.ctx)
+        # One packed-row gather instead of ~38 per-plane gathers (TPU
+        # gathers cost per index — see pack_pixel_rows).
+        packed = pack_pixel_rows(prev.reservoirs, prev.ctx)  # [H, W, C]
+        pred, pred_ctx = unpack_pixel_rows(
+            packed[ri, ci], prev.reservoirs.m.shape[0])
         # Validity gates: depth within 10%, normals within 25° (reuse of the
         # reference's similarity thresholds, fixed — see
         # neighbour_selection.cpp:16-18 bug note).

@@ -110,13 +110,24 @@ def render_romis(
     frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
 
     def solve(a_mat, b_vec):
-        """Batched min-norm least squares α = A⁺ b per channel.
-        a_mat [D1, D1, H, W], b_vec [3, D1, H, W] → α [3, D1, H, W]."""
+        """Batched least-squares α per channel via a Tikhonov-regularised
+        LU solve: α = (A + λI)⁻¹ b with λ = 1e-6·tr(A)/D1.
+
+        A = Σ ŵŵᵀ is symmetric PSD and b = Σ(scale·f)ŵ lies in range(A) by
+        construction, so the ridge solution converges to the min-norm
+        least-squares α as λ→0 — the same target as the reference's Eigen
+        completeOrthogonalDecomposition (render_utils.h:52). A pinv(SVD)
+        was used before, but TPU's batched SVD is an iterative Jacobi
+        while_loop whose runtime is data-dependent: on real frames it cost
+        ~3.3 s at 512x512 vs 0.2 ms for the fixed-op LU path."""
         a_t = jnp.moveaxis(a_mat, (-2, -1), (0, 1))  # [H, W, D1, D1]
         b_t = jnp.moveaxis(b_vec, (-2, -1), (0, 1))  # [H, W, 3, D1]
-        pinv = jnp.linalg.pinv(a_t, rcond=1e-6)  # [H, W, D1, D1]
-        alpha = jnp.einsum("hwij,hwcj->hwci", pinv, b_t)
-        return jnp.moveaxis(alpha, (0, 1), (-2, -1))  # [3, D1, H, W]
+        tr = jnp.trace(a_t, axis1=-2, axis2=-1)[..., None, None]
+        lam = 1e-6 * tr / a_t.shape[-1] + 1e-30
+        a_r = a_t + lam * jnp.eye(a_t.shape[-1], dtype=a_t.dtype)
+        alpha = jnp.linalg.solve(a_r, jnp.swapaxes(b_t, -1, -2))
+        return jnp.moveaxis(jnp.swapaxes(alpha, -1, -2),
+                            (0, 1), (-2, -1))  # [3, D1, H, W]
 
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)
