@@ -229,6 +229,118 @@ def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
     occ_ref[...] = occf_ref[...] > 0.5
 
 
+def plucker_matrix(geometry) -> jnp.ndarray:
+    """[5T, 16] constants turning segment-triangle occlusion into ONE
+    matmul + sign logic (the any-hit MXU path): for ray segment p0→p1 with
+    R = [D, M, p0, 1, 0...] (D = p1-p0, M = p0×p1), S = C @ R gives per
+    triangle the three Plücker edge sides (rows [0,3T)), the plane value
+    s0 = n·p0 + c (rows [3T,4T)), and ds = n·D (rows [4T,5T), s1 = s0+ds).
+    The segment crosses the triangle iff the three sides share a sign and
+    s0·s1 < 0. Inactive/padding triangles get all-zero rows: zero sides
+    pass the (inclusive) sign test but s0 = s1 = 0 fails the (strict)
+    straddle, so they never occlude."""
+    import numpy as np
+
+    v0 = np.asarray(geometry.v0)
+    e1 = np.asarray(geometry.e1)
+    e2 = np.asarray(geometry.e2)
+    act = np.asarray(geometry.active)[:, None]
+    t = v0.shape[0]
+    a, b, c3 = v0, v0 + e1, v0 + e2
+    rows = np.zeros((5 * t, 16), np.float32)
+    for k, (p, q) in enumerate(((a, b), (b, c3), (c3, a))):
+        rows[k * t:(k + 1) * t, 0:3] = np.cross(p, q) * act  # m_e · D
+        rows[k * t:(k + 1) * t, 3:6] = (q - p) * act  # d_e · M
+    n = np.cross(e1, e2)
+    rows[3 * t:4 * t, 6:9] = n * act  # n · p0
+    rows[3 * t:4 * t, 9:10] = -np.sum(n * a, axis=1, keepdims=True) * act
+    rows[4 * t:5 * t, 0:3] = n * act  # n · D
+    return jnp.asarray(rows)
+
+
+def _any_mxu_kernel(n_rows: int, c_ref, o_ref, d_ref, tmax_ref, occ_ref):
+    """One [bh*bw]-ray tile against every triangle on the MXU. bh*bw must
+    equal 1024 (the [16, N] ray matrix is built from 16 component planes
+    of one vreg each)."""
+    t = n_rows
+    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    t_max = tmax_ref[0]
+    big_dx = t_max * dx
+    big_dy = t_max * dy
+    big_dz = t_max * dz
+    # M = p0 × D
+    mx = oy * big_dz - oz * big_dy
+    my = oz * big_dx - ox * big_dz
+    mz = ox * big_dy - oy * big_dx
+    bh, bw = ox.shape
+    n = bh * bw
+    zeros = jnp.zeros((bh, bw), jnp.float32)
+    comp = [big_dx, big_dy, big_dz, mx, my, mz, ox, oy, oz,
+            jnp.ones((bh, bw), jnp.float32)] + [zeros] * 6
+    r_mat = jnp.concatenate(
+        [p.reshape(1, n) for p in comp], axis=0)  # [16, N]
+    s = jax.lax.dot_general(
+        c_ref[...], r_mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [5T, N]
+    e0, e1_, e2_ = s[0:t], s[t:2 * t], s[2 * t:3 * t]
+    s0 = s[3 * t:4 * t]
+    s1 = s0 + s[4 * t:5 * t]
+    lo = jnp.minimum(jnp.minimum(e0, e1_), e2_)
+    hi = jnp.maximum(jnp.maximum(e0, e1_), e2_)
+    hit = ((lo >= 0.0) | (hi <= 0.0)) & (s0 * s1 < 0.0)
+    # Reduce in f32 and reshape before the compare: Mosaic has no shape
+    # cast for 1-D bool vectors.
+    occf = jnp.max(hit.astype(jnp.float32), axis=0)  # [N]
+    occ_ref[0] = occf.reshape(bh, bw) > 0.5
+
+
+def pallas_any_mxu(origins, dirs, t_max, geometry, interpret: bool = False):
+    """Occlusion via the Plücker matmul kernel. Same contract as
+    pallas_any.
+
+    MEASURED NEGATIVE RESULT (kept as the documented exploration): at 1080p
+    x K=2 shadow bundles on the nightclub this runs 29.2 ms vs 8.3 ms for
+    the VPU Möller–Trumbore kernel. The matmul itself is fine, but S =
+    C @ R materialises 5T floats PER RAY (~1.9 KB/ray at 96 triangles)
+    through VMEM, while the MT loop keeps its per-pair intermediates in
+    registers — the VMEM write/read of S alone exceeds the VPU path's
+    total time. Occlusion agrees with the MT kernel except ~1e-5 of rays
+    at sign boundaries (different algebra, same f32 precision class)."""
+    lead = origins.shape[:-3]
+    h, w = origins.shape[-2:]
+    d_full = jnp.broadcast_to(dirs, origins.shape)
+    o = origins.reshape((-1, 3, h, w))
+    d = d_full.reshape((-1, 3, h, w))
+    tm = t_max.reshape((-1, h, w))
+    s = o.shape[0]
+
+    bh, bw = 8, 128
+    o, hh, ww = _pad_hw(o, bh, bw)
+    d, _, _ = _pad_hw(d, bh, bw)
+    tm, _, _ = _pad_hw(tm, bh, bw)
+    hp, wp = o.shape[-2:]
+
+    cmat = plucker_matrix(geometry)
+    grid = (s, hp // bh, wp // bw)
+    ray_spec = pl.BlockSpec((1, 3, bh, bw), lambda si, i, j: (si, 0, i, j),
+                            memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, bh, bw), lambda si, i, j: (si, i, j),
+                           memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_any_mxu_kernel, geometry.v0.shape[0]),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),  # C, whole
+                  ray_spec, ray_spec, sc_spec],
+        out_specs=sc_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.bool_),
+        interpret=interpret,
+    )(cmat, o, d, tm)
+    occ = occ[:, :hh, :ww]
+    return occ.reshape(lead + (h, w)) if lead else occ[0]
+
+
 def _tri_columns(geometry):
     """[10, T] f32 triangle columns for SMEM residence, padded to a
     TRI_UNROLL multiple (pad rows have active = 0)."""

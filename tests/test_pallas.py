@@ -56,6 +56,28 @@ def test_pallas_any_matches_xla_with_leading_dims():
     np.testing.assert_array_equal(occ_b, occ_p)
 
 
+def test_pallas_any_mxu_matches_xla():
+    """The Plücker-matmul occlusion kernel (a kept negative-result
+    exploration — see its docstring) must agree with the brute-force MT
+    reference on random segments; a tiny sign-boundary mismatch budget
+    covers the different f32 algebra."""
+    from romis_tpu.ops.pallas_trace import pallas_any_mxu
+
+    scene = load_prebuilt("cornell_box")
+    rng = np.random.default_rng(3)
+    n, s = 512, 3
+    origins = rng.uniform(-2, 2, (s, n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(s, n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.asarray(origins.transpose(0, 2, 1)[:, :, None, :])
+    d = jnp.asarray(dirs.transpose(0, 2, 1)[:, :, None, :])
+    t_max = jnp.asarray(rng.uniform(0.3, 3.0, (s, 1, n)).astype(np.float32))
+    occ_b = np.asarray(intersect_any(o, d, t_max, scene.geometry))
+    occ_p = np.asarray(pallas_any_mxu(o, d, t_max, scene.geometry,
+                                      interpret=True))
+    assert (occ_b != occ_p).mean() <= 1e-3
+
+
 def test_spatial_gather_kernel_structure():
     """Fused spatial neighbour gather (TPU-interpret emulation): every
     gathered value must come from the clamped ±radius window of the source
