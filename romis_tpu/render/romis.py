@@ -196,16 +196,36 @@ def render_romis(
                        * jnp.sum(colvec, axis=0))  # [D1, K, H, W]
         w_hat = colvec * scale[None]  # [J, D1, K, H, W]
 
-        # A += Σ_{d,k} ŵ ŵᵀ (render.cpp:212)
-        a_mat = a_mat + jnp.einsum("idkhw,jdkhw->ijhw", w_hat, w_hat)
-        # b_c += Σ_{d,k} scale · ŵ · f_c (render.cpp:213-218)
-        b_vec = b_vec + jnp.einsum(
-            "jdkhw,dkchw->cjhw", w_hat * scale[None], f)
+        # A += Σ_{d,k} ŵ ŵᵀ, b_c += Σ_{d,k} scale·ŵ·f_c
+        # (render.cpp:212-218). UNROLLED plane sums, not einsums: XLA
+        # lowers the (h, w)-batched dots with hw-major layouts whose {J, J}
+        # minor dims pad to the (8,128) vreg tile — a 28x memory expansion
+        # that OOMs at 1080p (and converts through bf16).
+        wf = w_hat.reshape(d1, d1 * k_lanes, height, width)
+        ws = (w_hat * scale[None]).reshape(d1, d1 * k_lanes, height, width)
+        ff = f.reshape(d1 * k_lanes, 3, height, width)
+        s_n = d1 * k_lanes
+        a_upd = [[None] * d1 for _ in range(d1)]
+        for i in range(d1):
+            for j in range(i, d1):
+                v = sum(wf[i, s] * wf[j, s] for s in range(s_n))
+                a_upd[i][j] = v
+                a_upd[j][i] = v
+        a_mat = a_mat + jnp.stack(
+            [jnp.stack(row) for row in a_upd])
+        b_vec = b_vec + jnp.stack([
+            jnp.stack([sum(ws[j, s] * ff[s, c] for s in range(s_n))
+                       for j in range(d1)])
+            for c in range(3)])
 
         # ===== progressive per-sample estimate (render.cpp:191-204) =====
         if features.use_progressive_romis:
-            sum_alpha_prod = jnp.einsum(
-                "cjhw,jdkhw->dkchw", alphas, colvec)  # [D1, K, 3, H, W]
+            # sum_alpha_prod[d,k,c] = Σ_j α[c,j]·colvec[j,d,k], unrolled
+            # over j for the same layout reason as A/b above.
+            sum_alpha_prod = jnp.stack([
+                sum(alphas[c, j][None, None] * colvec[j] for j in range(d1))
+                for c in range(3)
+            ], axis=2)  # [D1, K, 3, H, W]
             sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
             contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
             final_colors = final_colors + (
