@@ -4,8 +4,8 @@ Reference: renderROMIS (src/rendering/render.cpp:121-265). Per pixel, a
 (D+1)×(D+1) technique matrix A and one contribution vector b per color
 channel accumulate over iterations; the optimal per-technique weights α solve
 A α = b (minimum-norm least squares — the reference uses Eigen's
-completeOrthogonalDecomposition, render_utils.h:52; we use a batched
-pseudoinverse). The final pixel value is the sum of α components (direct
+completeOrthogonalDecomposition, render_utils.h:52; we use a
+Tikhonov-regularised unrolled plane Cholesky, see solve_alpha). The final pixel value is the sum of α components (direct
 estimator, render.cpp:234-264) or a running progressive estimate
 (render.cpp:159-204).
 
@@ -22,8 +22,8 @@ Bug fixed vs reference: ``fractionOfTotalSamples`` is integer division
 K/(D+1) = 0 in C++ (render.cpp:139), which makes the progressive estimator
 divide by FLT_MIN; we use the float ratio.
 
-Layout: image-minor. A is accumulated as [D1, D1, H, W] and transposed to
-[H, W, D1, D1] once for the batched solve.
+Layout: image-minor throughout — A stays [D1, D1, H, W] even through the
+solve (no hw-major transposes; see solve_alpha's docstring).
 """
 
 from __future__ import annotations
@@ -72,6 +72,69 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
     return jnp.stack([per_d(d) for d in range(d1)], axis=1)  # [J, D1, K, H, W]
 
 
+def solve_alpha(a_mat, b_vec):
+    """Batched least-squares α per channel via a Tikhonov-regularised
+    Cholesky solve: α = (A + λI)⁻¹ b with λ = 1e-6·tr(A)/D1.
+
+    A = Σ ŵŵᵀ is symmetric PSD and b = Σ(scale·f)ŵ lies in range(A) by
+    construction, so the ridge solution converges to the min-norm
+    least-squares α as λ→0 — the same target as the reference's Eigen
+    completeOrthogonalDecomposition (render_utils.h:52).
+
+    The (D1)³-unrolled Cholesky runs directly on the image-minor
+    [.., H, W] planes: pure elementwise ops, no transposes, no linalg
+    custom calls. Both alternatives were measured and rejected:
+    pinv = TPU batched SVD, an iterative data-dependent while_loop
+    (~3.3 s/frame at 512x512); jnp.linalg.solve = hw-major transpose +
+    batched LU custom lowering (~0.46 s/frame)."""
+    d1_n = a_mat.shape[0]
+    tr = sum(a_mat[i, i] for i in range(d1_n))  # [H, W]
+    lam = 1e-6 * tr / d1_n + 1e-20
+    a = [[a_mat[i, j] + jnp.where(jnp.int32(i == j), lam, 0.0)
+          for j in range(d1_n)] for i in range(d1_n)]
+
+    # Cholesky A = L Lᵀ, unrolled. In exact arithmetic every pivot of
+    # A + λI satisfies L[j][j]² ≥ λ_min ≥ λ, so flooring the pivot at
+    # λ (not at machine tiny) bounds inv_diag by 1/√λ — cancellation
+    # on near-singular pixels otherwise produced ~1e19 pivots whose
+    # back-substitution overflowed to inf−inf = NaN.
+    low = [[None] * d1_n for _ in range(d1_n)]
+    inv_diag = [None] * d1_n
+    for j in range(d1_n):
+        s = a[j][j] - sum((low[j][k] * low[j][k] for k in range(j)),
+                          start=jnp.zeros_like(lam))
+        diag = jnp.sqrt(jnp.maximum(s, lam))
+        low[j][j] = diag
+        inv_diag[j] = 1.0 / diag
+        for i in range(j + 1, d1_n):
+            s = a[i][j] - sum(
+                (low[i][k] * low[j][k] for k in range(j)),
+                start=jnp.zeros_like(lam))
+            low[i][j] = s * inv_diag[j]
+
+    def solve_one(rhs):  # rhs: list of D1 [H, W] planes
+        y = [None] * d1_n
+        for i in range(d1_n):
+            y[i] = (rhs[i] - sum(
+                (low[i][k] * y[k] for k in range(i)),
+                start=jnp.zeros_like(lam))) * inv_diag[i]
+        x = [None] * d1_n
+        for i in reversed(range(d1_n)):
+            x[i] = (y[i] - sum(
+                (low[k][i] * x[k] for k in range(i + 1, d1_n)),
+                start=jnp.zeros_like(lam))) * inv_diag[i]
+        return x
+
+    alpha = jnp.stack([
+        jnp.stack(solve_one([b_vec[c, i] for i in range(d1_n)]))
+        for c in range(3)
+    ])  # [3, D1, H, W]
+    # Degenerate pixels (numerically rank-0 neighbourhoods) yield
+    # meaningless α in ANY solver — the reference's Eigen COD returns
+    # noise there too; zero is the defensible estimate.
+    return jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+
+
 def render_romis(
     key,
     cam: CameraParams,
@@ -109,61 +172,7 @@ def render_romis(
     total_samples = float(d1 * k_lanes)
     frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
 
-    def solve(a_mat, b_vec):
-        """Batched least-squares α per channel via a Tikhonov-regularised
-        Cholesky solve: α = (A + λI)⁻¹ b with λ = 1e-6·tr(A)/D1.
-
-        A = Σ ŵŵᵀ is symmetric PSD and b = Σ(scale·f)ŵ lies in range(A) by
-        construction, so the ridge solution converges to the min-norm
-        least-squares α as λ→0 — the same target as the reference's Eigen
-        completeOrthogonalDecomposition (render_utils.h:52).
-
-        The (D1)³-unrolled Cholesky runs directly on the image-minor
-        [.., H, W] planes: pure elementwise ops, no transposes, no linalg
-        custom calls. Both alternatives were measured and rejected:
-        pinv = TPU batched SVD, an iterative data-dependent while_loop
-        (~3.3 s/frame at 512x512); jnp.linalg.solve = hw-major transpose +
-        batched LU custom lowering (~0.46 s/frame)."""
-        d1_n = a_mat.shape[0]
-        tr = sum(a_mat[i, i] for i in range(d1_n))  # [H, W]
-        lam = 1e-6 * tr / d1_n + 1e-30
-        a = [[a_mat[i, j] + jnp.where(jnp.int32(i == j), lam, 0.0)
-              for j in range(d1_n)] for i in range(d1_n)]
-
-        # Cholesky A = L Lᵀ, unrolled; guarded sqrt/div keep all-zero
-        # pixels (no valid samples → b is zero too) at α = 0.
-        low = [[None] * d1_n for _ in range(d1_n)]
-        inv_diag = [None] * d1_n
-        for j in range(d1_n):
-            s = a[j][j] - sum((low[j][k] * low[j][k] for k in range(j)),
-                              start=jnp.zeros_like(lam))
-            diag = jnp.sqrt(jnp.maximum(s, 1e-38))
-            low[j][j] = diag
-            inv_diag[j] = 1.0 / diag
-            for i in range(j + 1, d1_n):
-                s = a[i][j] - sum(
-                    (low[i][k] * low[j][k] for k in range(j)),
-                    start=jnp.zeros_like(lam))
-                low[i][j] = s * inv_diag[j]
-
-        def solve_one(rhs):  # rhs: list of D1 [H, W] planes
-            y = [None] * d1_n
-            for i in range(d1_n):
-                y[i] = (rhs[i] - sum(
-                    (low[i][k] * y[k] for k in range(i)),
-                    start=jnp.zeros_like(lam))) * inv_diag[i]
-            x = [None] * d1_n
-            for i in reversed(range(d1_n)):
-                x[i] = (y[i] - sum(
-                    (low[k][i] * x[k] for k in range(i + 1, d1_n)),
-                    start=jnp.zeros_like(lam))) * inv_diag[i]
-            return x
-
-        alpha = jnp.stack([
-            jnp.stack(solve_one([b_vec[c, i] for i in range(d1_n)]))
-            for c in range(3)
-        ])  # [3, D1, H, W]
-        return alpha
+    solve = solve_alpha
 
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)

@@ -181,3 +181,40 @@ def test_neighbour_similar_prefers_same_surface(cornell, cam):
     # Restrict to interior pixels on large surfaces.
     frac_same = same[:, valid].mean()
     assert frac_same > 0.7, frac_same
+
+
+def test_solve_alpha_robust_to_degenerate_systems():
+    """The α solve must stay finite on ill-conditioned, rank-deficient,
+    and all-zero technique matrices (regression: near-singular pixels
+    overflowed the Cholesky back-substitution to NaN on TPU data)."""
+    from romis_tpu.render.romis import solve_alpha
+
+    d1, h, w = 6, 4, 8
+    rng = np.random.default_rng(0)
+    # Pixel 0: well-conditioned PSD; pixel 1: rank-1 with tiny scale;
+    # pixel 2: all zero; pixel 3: rank-1 huge scale; rest random PSD rank-2.
+    mats = np.zeros((h * w, d1, d1), np.float32)
+    vecs = rng.normal(size=(h * w, 3, d1)).astype(np.float32)
+    for p in range(h * w):
+        if p == 2:
+            vecs[p] = 0.0
+            continue
+        r = 1 if p in (1, 3) else 2
+        scalef = {1: 1e-18, 3: 1e18}.get(p, 1.0)
+        u = rng.normal(size=(d1, r)).astype(np.float32) * scalef
+        mats[p] = u @ u.T
+        # b in range(A), like the real accumulation
+        vecs[p] = (u @ rng.normal(size=(r, 3)).astype(np.float32)).T * scalef
+
+    a_mat = jnp.asarray(mats.T.reshape(d1, d1, h, w))
+    b_vec = jnp.asarray(vecs.T.reshape(d1, 3, h, w).swapaxes(0, 1))
+    alpha = np.asarray(solve_alpha(a_mat, b_vec))
+    assert np.isfinite(alpha).all()
+    # Zero system -> zero alpha.
+    assert np.abs(alpha.reshape(3, d1, -1)[:, :, 2]).max() == 0.0
+    # Well-conditioned pixel: residual of the regularised system is small.
+    a0 = mats[0]
+    x0 = alpha.reshape(3, d1, -1)[:, :, 0]
+    b0 = vecs[0]
+    res = np.abs(a0 @ x0.T - b0.T).max() / max(np.abs(b0).max(), 1e-6)
+    assert res < 1e-3, res
