@@ -252,7 +252,15 @@ def combine_unbiased(
     reservoir.cpp:68-104): same resampling as the biased combine, but the
     denominator counts only inputs whose own target PDF (optionally ×
     visibility from *their* surface point, reservoir.cpp:85-93) is positive
-    at the winning sample: W = wSum / (p_hat(winner) * Z)."""
+    at the winning sample: W = wSum / (p_hat(winner) * Z).
+
+    Bug fixed vs reference: the reference's Z adds ``totalSampleNums()`` —
+    the M summed over ALL K sub-reservoirs (reservoir.cpp:92) — while its
+    stream weights and biased combine use the per-lane M. With K > 1 that
+    over-normalizes every lane by ~K per pass (measured 6.7x darker than
+    ground truth at K=2, 2 passes). Counting the lane's own M matches
+    Alg. 6 applied per lane, agrees with the biased combine when every
+    input is valid, and reduces to the reference for K = 1."""
     w, p_hat = _stream_weights(receiver, inputs, in_mask, features)
     sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
         key, w, p_hat, inputs, in_mask
@@ -266,10 +274,8 @@ def combine_unbiased(
         vis = visibility_from(input_ctxs.position[:, None], sel_pos, geometry)
         p_hat_at_inputs = jnp.where(vis, p_hat_at_inputs, 0.0)
 
-    total_m = jnp.sum(inputs.m, axis=1)  # [R, H, W]
     z = jnp.sum(
-        jnp.where((p_hat_at_inputs > 0.0) & in_mask[:, None],
-                  total_m[:, None], 0.0),
+        jnp.where((p_hat_at_inputs > 0.0) & in_mask[:, None], inputs.m, 0.0),
         axis=0,
     )  # [K, H, W]
 

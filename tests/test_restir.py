@@ -114,6 +114,33 @@ def test_ris_estimator_matches_ground_truth(cornell, cam):
     assert per_pix < 0.15, per_pix
 
 
+def test_unbiased_spatial_reuse_matches_ground_truth(cornell, cam):
+    """The UNBIASED spatial combine (Alg. 6 Z-count) must stay unbiased —
+    the mean over frames converges to brute-force MC. Regression for the
+    reference's totalSampleNums over-normalization (reservoir.cpp:92),
+    which dimmed the estimator ~K-fold per pass at K=2."""
+    feats = Features(temporal_reuse=False, unbiased_combination=True,
+                     enable_tone_mapping=False, initial_light_samples=8,
+                     spatial_resample_radius=2)
+    truth = _ground_truth(cornell, cam, feats)
+
+    h, w = HW
+    state = initial_temporal_state(h, w, feats.num_samples_in_reservoir, cam)
+    fn = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))
+    acc = np.zeros((h, w, 3))
+    n_frames = 150
+    for f in range(n_frames):
+        img, _ = fn(jax.random.PRNGKey(f), cam, cornell.geometry,
+                    cornell.lights, cornell.num_lights, h, w, feats, state)
+        acc += np.asarray(img)
+    mean_img = acc / n_frames
+
+    lit = truth.mean(axis=-1) > 0.01
+    assert lit.sum() > 50
+    rel = abs(mean_img.mean() - truth.mean()) / truth.mean()
+    assert rel < 0.08, (mean_img.mean(), truth.mean())
+
+
 def test_spatial_reuse_reduces_variance(cornell, cam):
     """Spatial reuse must cut pixel variance vs RIS-only at equal candidate
     counts (the point of ReSTIR)."""
