@@ -95,6 +95,14 @@ class Features:
     # default is on; set False to force the XLA gather path.
     fused_spatial_gather: bool = True
 
+    # TPU-only: fused Pallas kernels for the RESAMPLING phases (the RIS
+    # candidate loop and the spatial-reuse passes). These kernels have no
+    # VJP — their gradient is defined as the XLA formulation — so gradient
+    # paths (diff/grad.py, parallel/shard.py) set this False and autodiff
+    # the XLA resampling while keeping the fused trace/final-shade kernels
+    # (those carry proper re-evaluation custom_vjps).
+    fused_resampling: bool = True
+
     # Temporal reprojection with motion vectors. The reference explicitly
     # lacks motion vectors (report §2; render_utils.cpp:151-172 indexes the
     # same screen coordinate); we add camera-motion reprojection as a

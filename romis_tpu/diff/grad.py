@@ -98,6 +98,9 @@ def render_with_params(
     """Forward render with ``params`` substituted into the scene.
     Tone mapping is typically disabled for optimisation (linear losses)."""
     geometry, lights = apply_params(geometry, lights, params)
+    # The fused resampling kernels have no VJP; their gradient is the XLA
+    # formulation (Features.fused_resampling docstring).
+    features = features.replace(fused_resampling=False)
     return render_restir_frame(key, cam, geometry, lights, num_lights,
                                height, width, features, prev)
 

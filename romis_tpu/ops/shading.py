@@ -108,6 +108,69 @@ def phong_shade(
     return jnp.where(e(ctx.valid), out, 0.0)
 
 
+def target_pdf_planes(ctx: ShadeCtx, px, py, pz, cr, cg, cb,
+                      features: Features) -> jnp.ndarray:
+    """target_pdf on scalar COMPONENT planes ([..., H, W] each) instead of
+    [..., 3, H, W] vectors. Same math as phong_shade + vnorm; exists because
+    reverse-mode through vector-axis arrays inside a lax.scan makes XLA
+    assign the size-3 axis to the lane dimension (a 42x padded layout that
+    OOMs the 1080p gradient pass) — all-scalar planes keep H, W minor."""
+    if not features.enable_shading:
+        kd = ctx.kd
+        sq = kd[0] * kd[0] + kd[1] * kd[1] + kd[2] * kd[2]
+        ok = sq > 1e-30
+        norm = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+        return jnp.broadcast_to(norm, jnp.broadcast_shapes(norm.shape,
+                                                           px.shape))
+
+    ppx, ppy, ppz = ctx.position[0], ctx.position[1], ctx.position[2]
+    nx, ny, nz = ctx.normal[0], ctx.normal[1], ctx.normal[2]
+    tox, toy, toz = px - ppx, py - ppy, pz - ppz
+    dist2 = tox * tox + toy * toy + toz * toz
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    dinv = 1.0 / jnp.maximum(dist, 1e-20)
+    lx, ly, lz = tox * dinv, toy * dinv, toz * dinv
+    dot_nl = nx * lx + ny * ly + nz * lz
+
+    vx0 = ctx.view_origin[0] - ppx
+    vy0 = ctx.view_origin[1] - ppy
+    vz0 = ctx.view_origin[2] - ppz
+    vsq = vx0 * vx0 + vy0 * vy0 + vz0 * vz0
+    vok = vsq > 1e-30
+    vn = jnp.where(vok, jnp.sqrt(jnp.where(vok, vsq, 1.0)), 0.0)
+    vinv = 1.0 / jnp.maximum(vn, 1e-20)
+    vx, vy, vz = vx0 * vinv, vy0 * vinv, vz0 * vinv
+
+    rx0 = 2.0 * dot_nl * nx - lx
+    ry0 = 2.0 * dot_nl * ny - ly
+    rz0 = 2.0 * dot_nl * nz - lz
+    rsq = rx0 * rx0 + ry0 * ry0 + rz0 * rz0
+    rok = rsq > 1e-30
+    rn = jnp.where(rok, jnp.sqrt(jnp.where(rok, rsq, 1.0)), 0.0)
+    rinv = 1.0 / jnp.maximum(rn, 1e-20)
+    cos_t = (rx0 * vx + ry0 * vy + rz0 * vz) * rinv
+
+    cos_safe = jnp.maximum(cos_t, 1e-12)
+    spec_pow = jnp.where(cos_t > 0.0, jnp.power(cos_safe, ctx.shininess),
+                         0.0)
+    falloff = jnp.where(dist < ZERO_EPSILON, 1.0, dist)
+    inv_f2 = 1.0 / (falloff * falloff)
+
+    out = []
+    for col, kd_c, ks_c in ((cr, ctx.kd[0], ctx.ks[0]),
+                            (cg, ctx.kd[1], ctx.ks[1]),
+                            (cb, ctx.kd[2], ctx.ks[2])):
+        diffuse = col * kd_c * dot_nl
+        specular = col * ks_c * spec_pow
+        diffuse = jnp.where(jnp.isnan(diffuse), 0.0, diffuse)
+        specular = jnp.where(jnp.isnan(specular), 0.0, specular)
+        o = (diffuse + specular) * inv_f2
+        out.append(jnp.where((dot_nl < 0.0) | ~ctx.valid, 0.0, o))
+    sq = out[0] * out[0] + out[1] * out[1] + out[2] * out[2]
+    ok = sq > 1e-30
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+
+
 def target_pdf(
     ctx: ShadeCtx, light_pos: jnp.ndarray, light_color: jnp.ndarray,
     features: Features,

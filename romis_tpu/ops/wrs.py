@@ -33,9 +33,9 @@ import jax.numpy as jnp
 from ..core.features import Features
 from ..core.types import Reservoirs, ShadeCtx
 from ..core.vec import e, vnorm
-from ..scene.lights import LightTable, sample_lights
+from ..scene.lights import LightTable, sample_lights, sample_lights_planes
 from .intersect import intersect_any_fast
-from .shading import target_pdf
+from .shading import target_pdf, target_pdf_planes
 
 SHADOW_RAY_EPSILON = 1e-3  # reference src/utils/utils.h:16
 
@@ -107,7 +107,9 @@ def gen_canonical_samples(
     # Fused Pallas path on TPU (see ops/pallas_ris.py): whole candidate loop
     # on-chip; RNG stream differs (pltpu PRNG vs threefry) but is equally
     # deterministic, keyed off this function's key.
-    if getattr(geometry, "use_pallas", False) and jax.default_backend() == "tpu":
+    if (getattr(geometry, "use_pallas", False)
+            and features.fused_resampling
+            and jax.default_backend() == "tpu"):
         from .pallas_ris import gen_canonical_samples_pallas
 
         seed = jax.random.key_data(key).astype(jnp.int32).sum()
@@ -128,7 +130,12 @@ def gen_canonical_samples(
     real_per_slot = jnp.asarray(lane_real)  # [sk, K] bool
 
     def step(carry, inp):
-        w_sum, best_score, sel_pos, sel_color, sel_w, sel_p_hat = carry
+        # The whole scan body works on SCALAR COMPONENT PLANES [K, H, W]
+        # (sample_lights_planes / target_pdf_planes): any [K, 3, H, W]
+        # array here makes XLA's scan reverse-mode assign the size-3 axis
+        # to the lane dimension of the stacked per-step buffers — a 42x
+        # padded layout that OOMs the 1080p gradient pass.
+        w_sum, best_score, sel_comps, sel_w, sel_p_hat = carry
         slot_key, real = inp  # real: [K]
         # One threefry invocation per slot covers light pick, (u, v) and the
         # Gumbel race — 4x fewer RNG kernels than separate draws.
@@ -137,8 +144,8 @@ def gen_canonical_samples(
                           num_lights - 1)
         g = -jnp.log(-jnp.log(jnp.maximum(u4[3], 1e-37)) + 1e-37)
 
-        pos, color = sample_lights(lights, idx, u4[1], u4[2])  # [K, 3, H, W]
-        p_hat = target_pdf(ctx, pos, color, features)  # [K, H, W]
+        comps = sample_lights_planes(lights, idx, u4[1], u4[2])  # 6x[K,H,W]
+        p_hat = target_pdf_planes(ctx, *comps, features)  # [K, H, W]
         w = p_hat * float(num_lights) * real[:, None, None].astype(jnp.float32)
 
         score = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + g, -jnp.inf)
@@ -146,8 +153,7 @@ def gen_canonical_samples(
         return (
             w_sum + w,
             jnp.where(upd, score, best_score),
-            jnp.where(e(upd), pos, sel_pos),
-            jnp.where(e(upd), color, sel_color),
+            tuple(jnp.where(upd, c, sc) for c, sc in zip(comps, sel_comps)),
             jnp.where(upd, w, sel_w),
             jnp.where(upd, p_hat, sel_p_hat),
         ), None
@@ -155,14 +161,18 @@ def gen_canonical_samples(
     init = (
         jnp.zeros((k, h, w_img)),
         jnp.full((k, h, w_img), -jnp.inf),
-        jnp.zeros((k, 3, h, w_img)),
-        jnp.zeros((k, 3, h, w_img)),
+        tuple(jnp.zeros((k, h, w_img)) for _ in range(6)),
         jnp.zeros((k, h, w_img)),
         jnp.zeros((k, h, w_img)),
     )
-    (w_sum, _, sel_pos, sel_color, sel_w, sel_p_hat), _ = jax.lax.scan(
-        step, init, (keys, real_per_slot)
+    # Checkpoint the step as well: scan reverse-mode then stores only the
+    # stacked carries (~[S/K, K, H, W]) and recomputes each step's light
+    # fetch + Phong instead of saving their per-step intermediates.
+    (w_sum, _, sel_comps, sel_w, sel_p_hat), _ = jax.lax.scan(
+        jax.checkpoint(step), init, (keys, real_per_slot)
     )
+    sel_pos = jnp.stack(sel_comps[0:3], axis=1)  # [K, 3, H, W]
+    sel_color = jnp.stack(sel_comps[3:6], axis=1)
 
     m = jnp.broadcast_to(
         jnp.asarray(lane_counts)[:, None, None], (k, h, w_img))

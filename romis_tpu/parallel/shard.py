@@ -82,10 +82,13 @@ def make_sharded_train_step(
     automatically (the analog of the gradient all-reduce row in SURVEY §2.4).
     """
 
+    grad_features = features.replace(fused_resampling=False)
+
     def loss_fn(params: SceneParams, target, key, cam, prev):
         g, l = apply_params(geometry, lights, params)
         img, state = render_frame_sharded(
-            key, cam, g, l, num_lights, height, width, features, prev, mesh,
+            key, cam, g, l, num_lights, height, width, grad_features, prev,
+            mesh,
         )
         return jnp.mean((img - target) ** 2), state
 

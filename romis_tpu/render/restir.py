@@ -325,6 +325,7 @@ def spatial_reuse(
     # The unbiased combine needs neighbour-origin shadow rays, so it keeps
     # the gather-then-combine path below.
     if (features.fused_spatial_gather
+            and features.fused_resampling
             and getattr(geometry, "use_pallas", False)
             and jax.default_backend() == "tpu"
             and not features.unbiased_combination):
@@ -355,6 +356,7 @@ def spatial_reuse(
         offs = jax.random.randint(kp, (2, k_n, height, width),
                                   -radius, radius + 1)
         if (features.fused_spatial_gather
+                and features.fused_resampling
                 and getattr(geometry, "use_pallas", False)
                 and jax.default_backend() == "tpu"):
             from ..ops.pallas_spatial import spatial_neighbour_gather_pallas
@@ -398,13 +400,28 @@ def _final_shade_fused_bwd(features, residuals, ct):
     # Re-evaluation backward (same pattern as ops/intersect.closest_hit_diff):
     # the fused kernel has no VJP, so differentiate the XLA formulation —
     # identical math, visibility stop-gradded in both paths (boolean).
+    # The visibility trace runs OUTSIDE the vjp region: jax.vjp would
+    # otherwise JVP-trace pallas_any, which has no AD rule.
     ctx, reservoirs, geometry = residuals
+    vis = visibility(jax.lax.stop_gradient(ctx.position),
+                     jax.lax.stop_gradient(reservoirs.pos), geometry)
 
-    def f(ctx, reservoirs, geometry):
-        return _final_shade_xla(ctx, reservoirs, geometry, features)
+    def f(ctx, reservoirs):
+        shade = phong_shade(ctx, reservoirs.pos, reservoirs.color, features)
+        contrib = jnp.where(e(vis), shade, 0.0) * e(reservoirs.big_w)
+        return jnp.sum(contrib, axis=0) / reservoirs.k
 
-    _, vjp = jax.vjp(f, ctx, reservoirs, geometry)
-    return vjp(ct)
+    _, vjp = jax.vjp(f, ctx, reservoirs)
+    d_ctx, d_res = vjp(ct)
+
+    def zero_cot(x):
+        import numpy as np
+
+        if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+    return d_ctx, d_res, jax.tree.map(zero_cot, geometry)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -448,26 +465,30 @@ def render_restir_frame(
     prev: TemporalState,
 ):
     """One full ReSTIR frame (reference renderReSTIR, render.cpp:28-62).
-    Returns (image [H, W, 3], TemporalState for the next frame)."""
+    Returns (image [H, W, 3], TemporalState for the next frame).
+
+    Each phase is rematerialized (jax.checkpoint): transparent for
+    forward-only rendering, and under autodiff the backward recomputes a
+    phase instead of storing its per-candidate residuals — without this,
+    reverse-mode at 1080p stacks the RIS scan's per-slot samples into
+    [S/K, K, 3, H, W] temporaries whose padded layouts exceed HBM
+    (SURVEY §0: remat trades FLOPs for memory)."""
     rays = generate_rays(cam, height, width)
     _, ctx = trace_primary(rays, geometry, features)
 
-    res = gen_canonical_samples(
-        jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, num_lights,
-        geometry, features,
-    )
+    res = jax.checkpoint(lambda k_, c_, li_, ge_: gen_canonical_samples(
+        k_, c_, li_, num_lights, ge_, features))(
+        jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, geometry)
 
     if features.temporal_reuse:
-        res = temporal_reuse(
-            jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev,
-            height, width, features,
-        )
+        res = jax.checkpoint(lambda k_, c_, r_, p_: temporal_reuse(
+            k_, c_, r_, p_, height, width, features))(
+            jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
 
     if features.spatial_reuse:
-        res = spatial_reuse(
-            jax.random.fold_in(key, PH_SPATIAL), ctx, res, height, width,
-            geometry, features,
-        )
+        res = jax.checkpoint(lambda k_, c_, r_, ge_: spatial_reuse(
+            k_, c_, r_, height, width, ge_, features))(
+            jax.random.fold_in(key, PH_SPATIAL), ctx, res, geometry)
 
     color = final_shade(ctx, res, geometry, features)
     if features.enable_tone_mapping:

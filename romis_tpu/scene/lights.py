@@ -166,12 +166,16 @@ def sample_lights(
     cases falling out of the canonicalised table.
     """
     from ..core.vec import VEC_AXIS, e
+    from ..ops.pallas_rows import gather_rows
 
-    # ONE packed row-gather per index (see LightTable.rows): [..., H, W, 24].
-    rows = lights.rows[light_idx]
+    # ONE packed planes-first row-gather per index (see LightTable.rows):
+    # [24, ..., H, W]. gather_rows' custom_vjp backward is a segment_sum
+    # into the table — autodiff of a plain rows[idx] gather emitted a
+    # [N_pixels, 24→128]-padded scatter that OOM'd the 1080p gradient pass.
+    rows = gather_rows(lights.rows, light_idx)
 
     def comp(i):  # [..., 3, H, W] slice of the packed row
-        return jnp.moveaxis(rows[..., 3 * i:3 * i + 3], -1, VEC_AXIS)
+        return jnp.moveaxis(rows[3 * i:3 * i + 3], 0, VEC_AXIS)
 
     v0, e01, e02 = comp(0), comp(1), comp(2)
     c0, c1, c2, c3 = comp(3), comp(4), comp(5), comp(6)
@@ -182,6 +186,30 @@ def sample_lights(
     lerp23 = c2 * (1.0 - uu) + c3 * uu
     color = lerp01 * (1.0 - vv) + lerp23 * vv
     return pos, color
+
+
+def sample_lights_planes(
+    lights: LightTable,
+    light_idx: jnp.ndarray,  # [..., H, W] int32
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+):
+    """sample_lights on scalar component planes: returns
+    (px, py, pz, cr, cg, cb), each [..., H, W]. Avoids [..., 3, H, W]
+    intermediates whose size-3 axis XLA lane-pads 42x inside scan
+    reverse-mode (see ops/shading.target_pdf_planes)."""
+    from ..ops.pallas_rows import gather_rows
+
+    rows = gather_rows(lights.rows, light_idx)  # [24, ..., H, W]
+    px = rows[0] + u * rows[3] + v * rows[6]
+    py = rows[1] + u * rows[4] + v * rows[7]
+    pz = rows[2] + u * rows[5] + v * rows[8]
+    cols = []
+    for c in range(3):
+        lerp01 = rows[9 + c] * (1.0 - u) + rows[12 + c] * u
+        lerp23 = rows[15 + c] * (1.0 - u) + rows[18 + c] * u
+        cols.append(lerp01 * (1.0 - v) + lerp23 * v)
+    return px, py, pz, cols[0], cols[1], cols[2]
 
 
 def regular_light_grid(
