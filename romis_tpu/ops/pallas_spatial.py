@@ -301,6 +301,50 @@ def halo_offset_gather_pallas(
     return out[:, :, :h, :w]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def halo_offset_gather(planes, dy, dx, radius: int):
+    """DIFFERENTIABLE exact-offset halo gather:
+    out[d, c, i, j] = planes[c, i + dy[d,i,j], j + dx[d,i,j]]
+    (offsets in [-radius, radius], coords in-bounds — the callers' neighbour
+    selection clamps). Forward = the Pallas halo kernel on TPU (XLA
+    fancy-indexing fallback elsewhere); backward = one segment_sum
+    scatter-add (the gather is linear in ``planes``), so gradient paths get
+    kernel-speed neighbour fetches instead of the HBM-latency-bound XLA
+    gather (~0.5 s per 1080p pass) they previously fell back to."""
+    return _halo_offset_impl(planes, dy, dx, radius)
+
+
+def _halo_offset_impl(planes, dy, dx, radius: int):
+    if jax.default_backend() == "tpu" and radius <= 64:
+        return halo_offset_gather_pallas(planes, dy, dx, radius)
+    h, w = planes.shape[-2:]
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    g = planes[:, rows[None] + dy, cols[None] + dx]  # [C, D, H, W]
+    return jnp.moveaxis(g, 0, 1)
+
+
+def _halo_offset_fwd(planes, dy, dx, radius: int):
+    return _halo_offset_impl(planes, dy, dx, radius), (dy, dx,
+                                                       planes.shape)
+
+
+def _halo_offset_bwd(radius, res, ct):
+    import numpy as np
+
+    dy, dx, (c, h, w) = res
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    flat_idx = ((rows[None] + dy) * w + (cols[None] + dx)).ravel()
+    ct_flat = jnp.moveaxis(ct, 1, -1).reshape(-1, c)  # [(D H W), C]
+    d_planes = jax.ops.segment_sum(ct_flat, flat_idx, num_segments=h * w)
+    z = lambda a: np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
+    return (jnp.moveaxis(d_planes.reshape(h, w, c), -1, 0), z(dy), z(dx))
+
+
+halo_offset_gather.defvjp(_halo_offset_fwd, _halo_offset_bwd)
+
+
 def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
                  normal_cos: float, n_tj: int, n_steps: int, bh: int,
                  shin_n, h_real: int, w_real: int,

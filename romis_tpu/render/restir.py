@@ -368,12 +368,18 @@ def spatial_reuse(
             nbr, nbr_ctx = unpack_pixel_planes(
                 g, features.num_samples_in_reservoir)
         else:
+            # Exact-offset gather with a defined VJP: this branch carries
+            # the gradient path (fused_resampling=False), so it must be
+            # both differentiable and fast on TPU.
+            from ..ops.pallas_spatial import halo_offset_gather
+
             ny = jnp.clip(rows[None] + offs[0], 0, height - 1)  # [R, H, W]
             nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
-
-            packed = pack_pixel_rows(reservoirs, ctx)  # [H, W, C]
-            nbr, nbr_ctx = unpack_pixel_rows(
-                packed[ny, nx], features.num_samples_in_reservoir)
+            planes = pack_pixel_planes(reservoirs, ctx)
+            g = halo_offset_gather(planes, ny - rows[None], nx - cols[None],
+                                   radius)
+            nbr, nbr_ctx = unpack_pixel_planes(
+                g, features.num_samples_in_reservoir)
 
         reservoirs = spatial_pass(
             jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,

@@ -43,7 +43,7 @@ def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
 
 
 def _gather_neighbourhood_fused(tree, ny, nx, radius):
-    from ..ops.pallas_spatial import halo_offset_gather_pallas
+    from ..ops.pallas_spatial import halo_offset_gather
 
     leaves, treedef = jax.tree.flatten(tree)
     h, w = ny.shape[-2:]
@@ -53,7 +53,7 @@ def _gather_neighbourhood_fused(tree, ny, nx, radius):
     cols = jnp.arange(w, dtype=jnp.int32)[None, :]
     dy = ny.astype(jnp.int32) - rows
     dx = nx.astype(jnp.int32) - cols
-    g = halo_offset_gather_pallas(packed, dy, dx, radius)  # [D, C, H, W]
+    g = halo_offset_gather(packed, dy, dx, radius)  # [D, C, H, W]
     out, pos = [], 0
     for leaf, flat in zip(leaves, flats):
         cnt = flat.shape[0]
@@ -100,7 +100,6 @@ def render_rmis(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
     )  # [D1, H, W] each
     fused = (features.fused_spatial_gather
-             and features.fused_resampling
              and getattr(geometry, "use_pallas", False))
     radius = features.spatial_resample_radius
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)

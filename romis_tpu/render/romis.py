@@ -158,7 +158,6 @@ def render_romis(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
     )
     fused = (features.fused_spatial_gather
-             and features.fused_resampling
              and getattr(geometry, "use_pallas", False))
     radius = features.spatial_resample_radius
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,

@@ -455,3 +455,33 @@ def test_ris_affine_segments_bitexact():
         len(b), feats, interpret=pltpu.InterpretParams())
     for a, c in zip(jax.tree.leaves(synth), jax.tree.leaves(gathered)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_halo_offset_gather_vjp():
+    """The differentiable exact-offset halo gather's backward must equal the
+    direct scatter-add of cotangents (the gather is linear in the planes)."""
+    from romis_tpu.ops.pallas_spatial import halo_offset_gather
+
+    rng = np.random.default_rng(0)
+    c, h, w, d_n, r = 4, 16, 24, 3, 2
+    planes = jnp.asarray(rng.normal(size=(c, h, w)).astype(np.float32))
+    ys = np.arange(h)[None, :, None]
+    xs = np.arange(w)[None, None, :]
+    ny = np.clip(ys + rng.integers(-r, r + 1, (d_n, h, w)), 0, h - 1)
+    nx = np.clip(xs + rng.integers(-r, r + 1, (d_n, h, w)), 0, w - 1)
+    dy = jnp.asarray((ny - ys).astype(np.int32))
+    dx = jnp.asarray((nx - xs).astype(np.int32))
+    wts = rng.normal(size=(d_n, c, h, w)).astype(np.float32)
+
+    # Forward equals direct indexing.
+    got = np.asarray(halo_offset_gather(planes, dy, dx, r))
+    np.testing.assert_array_equal(
+        got, np.moveaxis(np.asarray(planes)[:, ny, nx], 0, 1))
+
+    g = jax.grad(lambda p: jnp.sum(
+        halo_offset_gather(p, dy, dx, r) * jnp.asarray(wts)))(planes)
+    expect = np.zeros((c, h, w), np.float32)
+    for di in range(d_n):
+        for cc in range(c):
+            np.add.at(expect[cc], (ny[di], nx[di]), wts[di, cc])
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-5)

@@ -121,3 +121,46 @@ def test_tone_mapping():
     out = np.asarray(exposure_tone_mapping(c, feats))
     want = (1.0 - np.exp(-1.5 * np.array([0.0, 0.5, 10.0]))) ** 0.5
     np.testing.assert_allclose(out[0], want, rtol=1e-5)
+
+
+def test_planes_forms_match_vector_forms():
+    """target_pdf_planes / sample_lights_planes (the scan-friendly scalar
+    component forms used by the gradient path) must match the vector-axis
+    originals."""
+    import jax
+    import jax.numpy as jnp
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.shading import target_pdf, target_pdf_planes
+    from romis_tpu.scene.lights import (
+        LightListBuilder, sample_lights, sample_lights_planes,
+    )
+    from helpers import random_reservoirs_and_ctx
+
+    rng = np.random.default_rng(11)
+    h, w, k = 24, 130, 2
+    _, ctx = random_reservoirs_and_ctx(rng, h, w, k)
+
+    b = LightListBuilder()
+    b.add_parallelogram((0.3, 2.0, 0.1), (0.4, 0, 0), (0, 0, 0.4),
+                        (1.0, 0.9, 0.8), (0.5, 0.5, 0.5),
+                        (0.2, 0.4, 0.6), (0.1, 0.1, 0.1))
+    b.add_point((1.0, 1.5, -0.5), (2.0, 2.0, 2.0))
+    b.add_segment((0, 1, 0), (1, 1, 0), (1, 0, 0), (0, 0, 1))
+    lights = b.build()
+
+    idx = jnp.asarray(rng.integers(0, len(b), (k, h, w)).astype(np.int32))
+    u = jnp.asarray(rng.uniform(size=(k, h, w)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(size=(k, h, w)).astype(np.float32))
+
+    pos, color = sample_lights(lights, idx, u, v)
+    px, py, pz, cr, cg, cb = sample_lights_planes(lights, idx, u, v)
+    np.testing.assert_allclose(np.asarray(pos),
+                               np.stack([px, py, pz], axis=1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(color),
+                               np.stack([cr, cg, cb], axis=1), rtol=1e-6)
+
+    for feats in (Features(), Features(enable_shading=False)):
+        a = np.asarray(target_pdf(ctx, pos, color, feats))
+        bb = np.asarray(target_pdf_planes(ctx, px, py, pz, cr, cg, cb,
+                                          feats))
+        np.testing.assert_allclose(bb, a, rtol=2e-5, atol=1e-7)
