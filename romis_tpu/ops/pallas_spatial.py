@@ -120,14 +120,6 @@ def _resolve_plane(tile_c, offs, radius: int):
     return sel
 
 
-def _center_plane(tile_c, radius: int):
-    """The tile's own (un-offset) pixels: tile[r + i, r + j] → [bh, bw]."""
-    bh, bw = _BH, _BW
-    he, we = _halo_window(radius)
-    rows = pltpu.roll(tile_c, shift=(he - radius) % he, axis=0)[:bh]
-    return pltpu.roll(rows, shift=(we - radius) % we, axis=1)[:, :bw]
-
-
 def _gather_kernel(n_nbr: int, radius: int, n_planes: int,
                    seed_ref, planes_hbm, out_ref, scratch, sem):
     bh, bw = _BH, _BW
@@ -611,16 +603,6 @@ def pad_halo_cols(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
         axis=0)  # [n_tj, C, Hp, we]
     cols = jnp.transpose(cols, (0, 2, 1, 3))  # [n_tj, Hp, C, we]
     return cols.reshape(n_tj, padded.shape[1], c * we)
-
-
-def pack_center_res(res) -> jnp.ndarray:
-    """Reservoirs → the [8K, H, W] plane block the pass kernel race reads:
-    pos 3K | color 3K | big_w K | m K."""
-    h, w = res.w_sum.shape[-2:]
-    return jnp.concatenate([
-        res.pos.reshape((-1, h, w)), res.color.reshape((-1, h, w)),
-        res.big_w, res.m,
-    ], axis=0)
 
 
 def pack_center_ctx(ctx) -> jnp.ndarray:
