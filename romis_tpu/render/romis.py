@@ -43,33 +43,41 @@ from .rmis import FLT_MIN, PH_ITER, PH_NEIGHBOURS, _gather_neighbourhood
 
 def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
     """colVecW for every (distribution d, lane k) sample evaluated under
-    every technique j. Returns (colvec [J, D1, K, H, W], per-sample shading
-    inputs). Streams over the d axis to bound memory."""
-    d1 = nb.pos.shape[0]
+    every technique j. Returns colvec [J, D1, K, H, W]. Unrolled over
+    (j, d) on scalar component planes (ops/shading.target_pdf_planes):
+    the vector-axis broadcast form materialised [J, K, 3, H, W]
+    Phong temporaries per d — the dominant cost of an R-OMIS iteration."""
+    from ..ops.shading import target_pdf_planes
 
-    def per_d(d):
-        pos_d = nb.pos[d]  # [K, 3, H, W]
-        color_d = nb.color[d]
-        # p̂ under every technique j's geometry: ctx_j [J, 1, ...] × [K, ...]
-        ctx_j = jax.tree.map(lambda a: a[:, None], nbhd_ctx)
-        p_hat_j = target_pdf(ctx_j, pos_d, color_d, features)  # [J, K, H, W]
-        w_sum_j = nb.w_sum  # [J, K, H, W] (lane k bookkeeping of pixel j)
-        chosen_j = nb.chosen_w
-        m_j = nb.m
-        mock_w = p_hat_j * float(num_lights)
+    d1 = nb.pos.shape[0]
+    j_n = nbhd_ctx.depth_t.shape[0]
+
+    def per_jd(j, d):
+        ctx_j = jax.tree.map(lambda a: a[j], nbhd_ctx)
+        p = nb.pos[d]  # [K, 3, H, W]
+        c = nb.color[d]
+        p_hat = target_pdf_planes(
+            ctx_j, p[:, 0], p[:, 1], p[:, 2], c[:, 0], c[:, 1], c[:, 2],
+            features)  # [K, H, W]
+        w_sum_j = nb.w_sum[j]  # [K, H, W]
+        chosen_j = nb.chosen_w[j]
+        m_j = nb.m[j]
+        mock_w = p_hat * float(num_lights)
         w_prime = (
-            (1.0 / jnp.maximum(p_hat_j, 1e-37))
+            (1.0 / jnp.maximum(p_hat, 1e-37))
             * (1.0 / jnp.maximum(m_j, 1e-37))
             * (w_sum_j - chosen_j + mock_w)
         )
-        colvec = jnp.where(
-            (p_hat_j > 0.0) & (jnp.abs(w_prime) > 1e-37),
+        return jnp.where(
+            (p_hat > 0.0) & (jnp.abs(w_prime) > 1e-37),
             1.0 / jnp.where(jnp.abs(w_prime) > 1e-37, w_prime, 1.0),
             0.0,
-        )
-        return colvec  # [J, K, H, W]
+        )  # [K, H, W]
 
-    return jnp.stack([per_d(d) for d in range(d1)], axis=1)  # [J, D1, K, H, W]
+    return jnp.stack([
+        jnp.stack([per_jd(j, d) for d in range(d1)])
+        for j in range(j_n)
+    ])  # [J, D1, K, H, W]
 
 
 def solve_alpha(a_mat, b_vec):
