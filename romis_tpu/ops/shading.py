@@ -108,20 +108,17 @@ def phong_shade(
     return jnp.where(e(ctx.valid), out, 0.0)
 
 
-def target_pdf_planes(ctx: ShadeCtx, px, py, pz, cr, cg, cb,
-                      features: Features) -> jnp.ndarray:
-    """target_pdf on scalar COMPONENT planes ([..., H, W] each) instead of
-    [..., 3, H, W] vectors. Same math as phong_shade + vnorm; exists because
-    reverse-mode through vector-axis arrays inside a lax.scan makes XLA
-    assign the size-3 axis to the lane dimension (a 42x padded layout that
-    OOMs the 1080p gradient pass) — all-scalar planes keep H, W minor."""
+def phong_shade_planes(ctx: ShadeCtx, px, py, pz, cr, cg, cb,
+                       features: Features):
+    """phong_shade on scalar COMPONENT planes ([..., H, W] each) instead of
+    [..., 3, H, W] vectors → (r, g, b) planes. Same math; exists because
+    vector-axis arrays in hot loops make XLA materialise [.., 3, H, W]
+    temporaries (and, inside lax.scan reverse-mode, assign the size-3 axis
+    to the lane dimension — a 42x padded layout that OOMs the 1080p
+    gradient pass). All-scalar planes keep H, W minor."""
     if not features.enable_shading:
-        kd = ctx.kd
-        sq = kd[0] * kd[0] + kd[1] * kd[1] + kd[2] * kd[2]
-        ok = sq > 1e-30
-        norm = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
-        return jnp.broadcast_to(norm, jnp.broadcast_shapes(norm.shape,
-                                                           px.shape))
+        shp = jnp.broadcast_shapes(ctx.kd[0].shape, px.shape)
+        return tuple(jnp.broadcast_to(ctx.kd[c], shp) for c in range(3))
 
     ppx, ppy, ppz = ctx.position[0], ctx.position[1], ctx.position[2]
     nx, ny, nz = ctx.normal[0], ctx.normal[1], ctx.normal[2]
@@ -166,7 +163,15 @@ def target_pdf_planes(ctx: ShadeCtx, px, py, pz, cr, cg, cb,
         specular = jnp.where(jnp.isnan(specular), 0.0, specular)
         o = (diffuse + specular) * inv_f2
         out.append(jnp.where((dot_nl < 0.0) | ~ctx.valid, 0.0, o))
-    sq = out[0] * out[0] + out[1] * out[1] + out[2] * out[2]
+    return tuple(out)
+
+
+def target_pdf_planes(ctx: ShadeCtx, px, py, pz, cr, cg, cb,
+                      features: Features) -> jnp.ndarray:
+    """target_pdf (= ||phong||_2) on scalar component planes — see
+    phong_shade_planes."""
+    r, g, b = phong_shade_planes(ctx, px, py, pz, cr, cg, cb, features)
+    sq = r * r + g * g + b * b
     ok = sq > 1e-30
     return jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
 

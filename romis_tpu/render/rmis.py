@@ -111,8 +111,16 @@ def render_rmis(
                                     geometry, features)
         nb = _gather_neighbourhood(res, ny, nx, radius, fused)  # [D1, K, ...]
 
-        # Shading + visibility of every neighbourhood sample at the receiver.
-        shade = phong_shade(ctx, nb.pos, nb.color, features)  # [D1,K,3,H,W]
+        # Shading + visibility of every neighbourhood sample at the
+        # receiver. Planes-form phong (see phong_shade_planes) keeps the
+        # [D1, K, ...] evaluation free of [.., 3, H, W] temporaries.
+        from ..ops.shading import phong_shade_planes
+
+        p_, c_ = nb.pos, nb.color
+        rgb = phong_shade_planes(
+            ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+            c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
+        shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
         vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
         sample_color = jnp.where(e(vis), shade, 0.0)
 

@@ -203,8 +203,15 @@ def render_romis(
         colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
         # colvec: [J, D1(d), K, H, W]
 
-        # Shading of each (d, k) sample at the receiver (render.cpp:187-189).
-        shade = phong_shade(ctx, nb.pos, nb.color, features)  # [D1,K,3,H,W]
+        # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
+        # via the planes-form phong (no [.., 3, H, W] temporaries).
+        from ..ops.shading import phong_shade_planes
+
+        p_, c_ = nb.pos, nb.color
+        rgb = phong_shade_planes(
+            ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+            c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
+        shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
         vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
         f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
 
