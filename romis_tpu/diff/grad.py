@@ -60,10 +60,15 @@ def extract_params(geometry, lights) -> SceneParams:
 def apply_params(geometry, lights, params: SceneParams):
     from ..scene.scene import repack_rows
 
+    # uniform_shin is a host-time constant detected from the ORIGINAL
+    # mat_shininess; traced params may move shininess off the build value, so
+    # drop it (same class of stale specialisation as const_cols below) — the
+    # fused final-shade kernel then reads the live shininess plane.
     geometry = repack_rows(geometry.replace(
         mat_kd=params.mat_kd, mat_ks=params.mat_ks,
         mat_shininess=params.mat_shininess,
         v0=params.tri_v0, e1=params.tri_e1, e2=params.tri_e2,
+        uniform_shin=None,
     ))
     lights = lights.replace(
         c0=params.light_c0, c1=params.light_c1, c2=params.light_c2,

@@ -582,27 +582,12 @@ def pad_halo(planes: jnp.ndarray, radius: int, bh: int = None,
         mode=mode)
 
 
-def pad_halo_cols(planes: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Tile-column halo layout for the pass kernel: [C, H, W] →
-    [n_tj, Hp, C*we], where slot tj holds every plane's we-wide window of
-    tile column j, lane-stacked in plane order.
-
-    Why: DMA'ing windows out of the [C, Hp, Wp] layout moves 1KB rows
-    (we*4B with a Wp stride) — descriptor-bound at a fraction of HBM peak
-    (measured ~4.6 ms/pass of pure halo DMA at 1080p). Here one tile's
-    window is a [he, C*we] slice with C*we*4 ≈ 5-16KB contiguous rows, and
-    the in-kernel lane-stacked `concat` disappears — the scratch arrives
-    pre-stacked for the one-hot row-resolve matmul. The duplication
-    (n_tj*we/Wp ≈ 1.9x) is XLA-side sequential copy, cheap vs the win."""
-    c, h, w = planes.shape
-    padded = pad_halo(planes, radius)  # [C, Hp, Wp]
-    he, we = _halo_window(radius)
-    n_tj = (w + ((-w) % _BW)) // _BW
-    cols = jnp.stack(
-        [padded[:, :, j * _BW:j * _BW + we] for j in range(n_tj)],
-        axis=0)  # [n_tj, C, Hp, we]
-    cols = jnp.transpose(cols, (0, 2, 1, 3))  # [n_tj, Hp, C, we]
-    return cols.reshape(n_tj, padded.shape[1], c * we)
+# NOTE (negative result, kept as documentation): a tile-column halo layout
+# [n_tj, Hp, C*we] — one contiguous [he, C*we] slice per tile column, built
+# host-side so the kernel's window DMA moves 5-16KB rows instead of 1KB —
+# was measured and REJECTED: XLA's stack+transpose prep costs 2-4 ms at
+# 1080p, more than the DMA it saves. The experiment lives in
+# scripts/halo_prep_micro.py (v_transpose / v_concat variants).
 
 
 def pack_center_ctx(ctx) -> jnp.ndarray:

@@ -1,6 +1,8 @@
 """Microbenchmark: XLA cost of building the tile-column halo layout
-[n_tj, Hp, C*we] from [C, H, W] planes at 1080p (pallas_spatial.pad_halo_cols
-variants). Run: python scripts/halo_prep_micro.py
+[n_tj, Hp, C*we] from [C, H, W] planes at 1080p. Negative result: the
+stack+transpose prep costs 2-4 ms, more than the halo DMA it would save
+(note in pallas_spatial.py next to pad_halo). Run:
+python scripts/halo_prep_micro.py
 """
 
 import os

@@ -23,6 +23,10 @@ def main():
     if os.environ.get("SP_TILE"):
         bh, bw = (int(x) for x in os.environ["SP_TILE"].split("x"))
         ps._BH, ps._BW = bh, bw
+        # spatial_pass_pallas picks its tile height via pick_tile_h(h),
+        # which ignores _BH unless nothing in its list divides h — bypass
+        # it so the override actually takes effect.
+        ps.pick_tile_h = lambda h: bh
         print(f"spatial tile override: {bh}x{bw}")
 
     from romis_tpu.ops.pallas_spatial import spatial_pass_pallas

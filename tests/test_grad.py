@@ -156,3 +156,18 @@ def test_vertex_grad_finite_difference_on_energy(cornell):
     # cannot see; accept agreement within 25% on the smooth component.
     assert np.sign(fd) == np.sign(ad) or abs(fd - ad) < 0.25 * abs(ad), (
         fd, ad)
+
+
+def test_apply_params_drops_stale_host_specialisations(cornell):
+    """uniform_shin (like const_cols/affine_segments) is detected from the
+    ORIGINAL host arrays at build time; once traced params can move
+    shininess, the fused final-shade kernel must not keep specialising the
+    specular pow on the stale build-time exponent (advisor round-1 high)."""
+    params = extract_params(cornell.geometry, cornell.lights)
+    params = params.replace(mat_shininess=params.mat_shininess + 7.0)
+    geometry, lights = apply_params(cornell.geometry, cornell.lights, params)
+    assert geometry.uniform_shin is None
+    assert lights.const_cols is None and lights.affine_segments is None
+    np.testing.assert_allclose(
+        np.asarray(geometry.mat_shininess),
+        np.asarray(cornell.geometry.mat_shininess) + 7.0)
