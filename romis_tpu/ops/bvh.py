@@ -32,6 +32,43 @@ from flax import struct
 
 MAX_LEAF = 4  # static unroll bound in the traversal kernels
 
+# Paged layout constants (the Pallas traversal kernel's working set,
+# ops/pallas_bvh.py): triangles are regrouped into fixed-size "pages" cut
+# from the SAH tree as maximal subtrees of <= PAGE_TRIS triangles; the tree
+# ABOVE the cuts (the "top tree") is small enough for SMEM residence and is
+# walked with a scalar skip-link cursor, DMA-ing live pages HBM->SMEM.
+PAGE_TRIS = 512      # triangle slots per page (lane dim of the page record)
+PAGE_ROWS = 16       # rows: v0/e1/e2 xyz (9) + active (1) + block AABBs (6)
+PAGE_BLK = 16        # triangles per fine culling block inside a page
+MAX_TOP_NODES = 8192  # SMEM budget guard (32 B/node; probe: 320 KB is safe)
+
+
+@struct.dataclass
+class PagedBVH:
+    """SMEM top tree + HBM triangle pages for the Pallas traversal kernels.
+
+    nodes_box  [6, N] f32: bmin xyz / bmax xyz per top-tree node
+    nodes_link [2, N] i32: (miss_link | -1, page_id | -1 for inner nodes)
+    page_first [P]    i32: global (reordered) triangle index of page slot 0
+    pages      [P, PAGE_ROWS, page_tris] f32: rows 0-8 v0/e1/e2 xyz,
+               row 9 active flag, rows 10-15 per-PAGE_BLK block AABBs
+               (min xyz / max xyz packed in the first page_tris//PAGE_BLK
+               lanes; empty blocks hold inverted +-1e30 sentinels)
+    """
+
+    nodes_box: jnp.ndarray
+    nodes_link: jnp.ndarray
+    page_first: jnp.ndarray
+    pages: jnp.ndarray
+
+    @property
+    def n_pages(self) -> int:
+        return self.pages.shape[0]
+
+    @property
+    def page_tris(self) -> int:
+        return self.pages.shape[2]
+
 
 @struct.dataclass
 class BVH:
@@ -45,6 +82,10 @@ class BVH:
     miss_link: jnp.ndarray  # int32, -1 terminates traversal
     leaf_first: jnp.ndarray  # int32, -1 for inner nodes
     leaf_count: jnp.ndarray  # int32, 0 for inner nodes
+
+    # Paged layout for the Pallas traversal kernels (None when the top tree
+    # exceeds the SMEM budget; ops/intersect then uses the XLA wavefront).
+    paged: PagedBVH | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -171,6 +212,98 @@ def _thread_links(left, right):
     return miss
 
 
+def _build_paged(bmin, bmax, left, right, lfirst, lcount, v0s, e1s, e2s,
+                 page_tris: int = PAGE_TRIS) -> PagedBVH | None:
+    """Cut the SAH build tree into a SMEM-resident top tree whose leaves are
+    fixed-size triangle pages (see PagedBVH). The builders' in-place
+    partition guarantees every subtree owns a contiguous, DFS-monotone
+    triangle range, so page p is simply slots [first, first+count) of the
+    reordered triangle arrays and a page hit maps back to global indices as
+    page_first[p] + slot.
+
+    v0s/e1s/e2s: the ACTIVE triangles already in final (reordered) order.
+    Returns None when the top tree would not fit the SMEM budget."""
+    n = len(left)
+    sub_first = np.where(lcount > 0, lfirst, 0).astype(np.int64)
+    sub_count = lcount.astype(np.int64).copy()
+    # Children follow their parent in the DFS-preorder node array, so a
+    # reverse sweep sees both children before the parent.
+    for i in range(n - 1, -1, -1):
+        if left[i] >= 0:
+            sub_first[i] = sub_first[left[i]]
+            sub_count[i] = sub_count[left[i]] + sub_count[right[i]]
+    assert int(lcount.max(initial=0)) <= page_tris, (
+        "page_tris must be >= the builder's largest leaf")
+
+    # DFS-preorder cut: maximal subtrees with <= page_tris triangles.
+    top_orig: list[int] = []
+    top_page: list[int] = []
+    pages: list[tuple[int, int]] = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if sub_count[i] <= page_tris or left[i] < 0:
+            top_orig.append(i)
+            top_page.append(len(pages))
+            pages.append((int(sub_first[i]), int(sub_count[i])))
+        else:
+            top_orig.append(i)
+            top_page.append(-1)
+            stack.append(right[i])
+            stack.append(left[i])
+    n_top = len(top_orig)
+    if n_top > MAX_TOP_NODES:
+        return None
+
+    new_idx = {o: k for k, o in enumerate(top_orig)}
+    miss = np.full(n_top, -1, np.int32)
+    st = [(0, -1)]
+    while st:
+        o, m = st.pop()
+        k = new_idx[o]
+        miss[k] = m
+        if top_page[k] < 0:
+            l, r = left[o], right[o]
+            st.append((r, m))
+            st.append((l, new_idx[r]))
+
+    n_pages = len(pages)
+    nb = page_tris // PAGE_BLK
+    rec = np.zeros((n_pages, PAGE_ROWS, page_tris), np.float32)
+    pfirst = np.zeros(max(n_pages, 1), np.int32)
+    for p, (f, c) in enumerate(pages):
+        pfirst[p] = f
+        sl = slice(f, f + c)
+        rec[p, 0:3, :c] = v0s[sl].T
+        rec[p, 3:6, :c] = e1s[sl].T
+        rec[p, 6:9, :c] = e2s[sl].T
+        rec[p, 9, :c] = 1.0
+        pts = np.stack([v0s[sl], v0s[sl] + e1s[sl], v0s[sl] + e2s[sl]], 1)
+        lo = pts.min(1)
+        hi = pts.max(1)
+        blo = np.full((nb, 3), 1e30, np.float32)
+        bhi = np.full((nb, 3), -1e30, np.float32)
+        for b in range(nb):
+            s0, s1 = b * PAGE_BLK, min((b + 1) * PAGE_BLK, c)
+            if s1 > s0:
+                blo[b] = lo[s0:s1].min(0) - 1e-4
+                bhi[b] = hi[s0:s1].max(0) + 1e-4
+        rec[p, 10:13, :nb] = blo.T
+        rec[p, 13:16, :nb] = bhi.T
+
+    ti = np.asarray(top_orig, np.int64)
+    nodes_box = np.stack([
+        bmin[ti, 0], bmin[ti, 1], bmin[ti, 2],
+        bmax[ti, 0], bmax[ti, 1], bmax[ti, 2]]).astype(np.float32)
+    nodes_link = np.stack([miss, np.asarray(top_page, np.int32)])
+    return PagedBVH(
+        nodes_box=jnp.asarray(nodes_box),
+        nodes_link=jnp.asarray(nodes_link),
+        page_first=jnp.asarray(pfirst),
+        pages=jnp.asarray(rec),
+    )
+
+
 def build_bvh(geometry, max_leaf: int = MAX_LEAF):
     """Build a BVH over the *active* triangles of ``geometry`` and return
     (BVH, geometry with triangles permuted so leaves are contiguous).
@@ -192,6 +325,8 @@ def build_bvh(geometry, max_leaf: int = MAX_LEAF):
             v0, e1, e2, max_leaf)
 
     miss = _thread_links(left, right)
+    paged = _build_paged(bmin, bmax, left, right, lfirst, lcount,
+                         v0[order], e1[order], e2[order])
 
     # Verify the DFS-preorder contract the traversal relies on.
     inner = left >= 0
@@ -211,7 +346,7 @@ def build_bvh(geometry, max_leaf: int = MAX_LEAF):
         bmin_z=jnp.asarray(bmin[:, 2]), bmax_x=jnp.asarray(bmax[:, 0]),
         bmax_y=jnp.asarray(bmax[:, 1]), bmax_z=jnp.asarray(bmax[:, 2]),
         miss_link=jnp.asarray(miss), leaf_first=jnp.asarray(lfirst),
-        leaf_count=jnp.asarray(lcount),
+        leaf_count=jnp.asarray(lcount), paged=paged,
     )
     return bvh, geometry
 

@@ -98,6 +98,11 @@ def intersect_closest(rays: Rays, geometry, t_max=None):
     when geometry carries one. Reference: EmbreeInterface::closestHit
     (embree_interface.cpp:64-90)."""
     if geometry.bvh is not None:
+        if geometry.use_pallas:
+            from .pallas_bvh import paged_closest, paged_fits
+
+            if paged_fits(geometry.bvh.paged):
+                return paged_closest(rays, geometry.bvh.paged, t_max)
         from .traverse import bvh_closest
 
         return bvh_closest(rays, geometry, geometry.bvh, t_max)
@@ -140,6 +145,11 @@ def intersect_any(origins, dirs, t_max, geometry) -> jnp.ndarray:
     Dispatches to the BVH wavefront traversal when geometry carries one.
     Reference: EmbreeInterface::anyHit (embree_interface.cpp:58-62)."""
     if geometry.bvh is not None:
+        if geometry.use_pallas:
+            from .pallas_bvh import paged_any, paged_fits
+
+            if paged_fits(geometry.bvh.paged):
+                return paged_any(origins, dirs, t_max, geometry.bvh.paged)
         from .traverse import bvh_any
 
         return bvh_any(origins, dirs, t_max, geometry, geometry.bvh)

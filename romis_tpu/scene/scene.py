@@ -288,6 +288,61 @@ _PREBUILT = {
 }
 
 
+def _instance_grid(submeshes, n: int, spacing: float = 2.2):
+    """Replicate submeshes over an n x n XZ grid (new-framework large-scene
+    workload — the reference has no >640-tri scene; this sizes the BVH
+    traversal benchmark at n*n*500 monkey triangles)."""
+    import dataclasses
+
+    out = []
+    half = (n - 1) / 2.0
+    for gi in range(n):
+        for gj in range(n):
+            off = np.asarray(
+                [(gi - half) * spacing, 0.0, (gj - half) * spacing],
+                np.float32)
+            for sm in submeshes:
+                out.append(dataclasses.replace(
+                    sm, positions=sm.positions + off))
+    return out
+
+
+def load_monkey_field(n: int = 5, data_dir: str | None = None) -> Scene:
+    """n x n grid of monkeys (n*n*500 + 2 triangles) under a parallelogram
+    sky light + 2 point lights: the large-scene benchmark for the paged
+    Pallas BVH traversal (ops/pallas_bvh.py). Not a reference scene."""
+    data_dir = data_dir or default_data_dir()
+    if data_dir is None:
+        raise FileNotFoundError("no data directory found; set ROMIS_DATA_DIR")
+    submeshes = load_obj(os.path.join(data_dir, "monkey.obj"),
+                         center_and_normalize=True)
+    submeshes = _instance_grid(submeshes, n)
+    # Ground plane under the grid.
+    import dataclasses
+
+    ext = 1.4 * n
+    quad = dataclasses.replace(
+        submeshes[0],
+        positions=np.asarray([[-ext, -0.8, -ext], [ext, -0.8, -ext],
+                              [ext, -0.8, ext], [-ext, -0.8, ext]],
+                             np.float32),
+        normals=np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1)),
+        texcoords=np.zeros((4, 2), np.float32),
+        triangles=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    submeshes.append(quad)
+
+    lights = LightListBuilder()
+    lights.add_parallelogram(
+        (-0.3 * n, 1.5 * n, -0.3 * n), (0.6 * n, 0, 0), (0, 0, 0.6 * n),
+        (40.0, 40.0, 40.0), (40.0, 40.0, 40.0), (40.0, 40.0, 40.0),
+        (40.0, 40.0, 40.0))
+    lights.add_point((-ext, 2.0, -ext), (30, 30, 30))
+    lights.add_point((ext, 2.0, ext), (30, 30, 30))
+    return Scene(geometry=build_geometry(submeshes), lights=lights.build(),
+                 num_lights=len(lights), name=f"monkey_field_{n}x{n}")
+
+
 def load_prebuilt(name: str, data_dir: str | None = None) -> Scene:
     """Reference: loadScenePrebuilt (src/scene/scene.cpp:68-132), including the
     hardcoded per-scene lights."""

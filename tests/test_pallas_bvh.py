@@ -1,0 +1,160 @@
+"""Paged Pallas BVH traversal (ops/pallas_bvh.py) — interpret mode on CPU,
+validated against the brute-force intersector and the XLA wavefront."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from romis_tpu.ops.bvh import (
+    PAGE_BLK, _build_arrays_numpy, _build_paged, build_bvh,
+)
+from romis_tpu.ops.intersect import intersect_any, intersect_closest
+from romis_tpu.ops.pallas_bvh import paged_any, paged_closest
+from romis_tpu.scene.scene import load_prebuilt
+
+from helpers import make_rays, unpack_scalar
+
+
+def _rand_rays(rng, n, spread=2.0):
+    origins = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return make_rays(origins, dirs)
+
+
+def _paged_scene(name="cornell_box", page_tris=64):
+    """BVH-permuted geometry + a paged table cut small enough that the
+    cornell box (640 tris) spans many pages (exercises the page walk)."""
+    scene = load_prebuilt(name)
+    bvh, geo = build_bvh(scene.geometry)
+    act = np.asarray(geo.active)
+    n_act = int(act.sum())
+    v0 = np.asarray(geo.v0)[:n_act]
+    e1 = np.asarray(geo.e1)[:n_act]
+    e2 = np.asarray(geo.e2)[:n_act]
+    # Rebuild the raw trees over the ALREADY-permuted actives (identity
+    # order) so leaf ranges index the final arrays directly.
+    bmin, bmax, left, right, lf, lc, order = _build_arrays_numpy(
+        v0, e1, e2, 4)
+    assert np.array_equal(np.sort(order), np.arange(n_act))
+    paged = _build_paged(bmin, bmax, left, right, lf, lc,
+                         v0[order], e1[order], e2[order],
+                         page_tris=page_tris)
+    # order re-permutes triangles: remap geometry the same way.
+    perm = np.concatenate([order, np.arange(n_act, len(act))])
+    geo = geo.replace(**{
+        f: jnp.asarray(np.asarray(getattr(geo, f))[perm])
+        for f in ("v0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
+                  "mat_id", "geom_id", "active")})
+    from romis_tpu.scene.scene import repack_rows
+
+    return repack_rows(geo), paged
+
+
+def test_paged_build_covers_all_triangles():
+    geo, paged = _paged_scene()
+    # Every active triangle appears in exactly one page slot.
+    act = np.asarray(paged.pages)[:, 9, :] > 0
+    first = np.asarray(paged.page_first)
+    slots = np.nonzero(act)
+    global_idx = first[slots[0]] + slots[1]
+    n_act = int(np.asarray(geo.active).sum())
+    assert sorted(global_idx.tolist()) == list(range(n_act))
+    # Page slots hold the actual triangle data.
+    pages = np.asarray(paged.pages)
+    v0 = np.asarray(geo.v0)
+    np.testing.assert_allclose(
+        pages[slots[0], 0, slots[1]], v0[global_idx, 0], rtol=1e-6)
+    # Top tree: one page leaf per page, skip links in range.
+    link = np.asarray(paged.nodes_link)
+    assert (link[1] >= 0).sum() == paged.n_pages
+    assert link[0].max() < link.shape[1]
+
+
+@pytest.mark.parametrize("page_tris", [64, 256])
+def test_paged_closest_matches_bruteforce(page_tris):
+    geo, paged = _paged_scene(page_tris=page_tris)
+    rng = np.random.default_rng(2)
+    rays = _rand_rays(rng, 300)
+    geo_nobvh = geo.replace(bvh=None)
+    t_b, tri_b, u_b, v_b = intersect_closest(rays, geo_nobvh)
+    t_p, tri_p, u_p, v_p = paged_closest(rays, paged, interpret=True)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(unpack_scalar(t_b)), unpack_scalar(t_b), -1),
+        np.where(np.isfinite(unpack_scalar(t_p)), unpack_scalar(t_p), -1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(unpack_scalar(tri_b), unpack_scalar(tri_p))
+    np.testing.assert_allclose(unpack_scalar(u_b), unpack_scalar(u_p),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(unpack_scalar(v_b), unpack_scalar(v_p),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_paged_closest_respects_t_max():
+    geo, paged = _paged_scene()
+    rng = np.random.default_rng(3)
+    rays = _rand_rays(rng, 200)
+    t_full, tri_full, _, _ = paged_closest(rays, paged, interpret=True)
+    cap = 1.0
+    t_c, tri_c, _, _ = paged_closest(
+        rays, paged, t_max=jnp.full((1, 200), cap), interpret=True)
+    t_full = unpack_scalar(t_full)
+    t_c = unpack_scalar(t_c)
+    hit_c = unpack_scalar(tri_c) >= 0
+    assert np.all(t_c[hit_c] < cap)
+    # Capped hits agree with uncapped hits below the cap.
+    near = np.isfinite(t_full) & (t_full < cap)
+    np.testing.assert_allclose(t_c[near], t_full[near], rtol=1e-6)
+    assert not np.any(hit_c & ~near)
+
+
+def test_paged_any_matches_xla_with_leading_dims():
+    geo, paged = _paged_scene()
+    rng = np.random.default_rng(4)
+    n, s = 64, 3
+    origins = rng.uniform(-2, 2, (s, n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(s, n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.asarray(origins.transpose(0, 2, 1)[:, :, None, :])
+    d = jnp.asarray(dirs.transpose(0, 2, 1)[:, :, None, :])
+    t_max = jnp.full((s, 1, n), 1.5)
+    occ_b = np.asarray(intersect_any(o, d, t_max, geo.replace(bvh=None)))
+    occ_p = np.asarray(paged_any(o, d, t_max, paged, interpret=True))
+    np.testing.assert_array_equal(occ_b, occ_p)
+
+
+def test_build_bvh_attaches_paged():
+    scene = load_prebuilt("cornell_box")
+    bvh, geo = build_bvh(scene.geometry)
+    assert bvh.paged is not None
+    assert bvh.paged.page_tris % PAGE_BLK == 0
+    # Default pages hold the whole 640-tri box in a couple of pages.
+    assert 1 <= bvh.paged.n_pages <= 8
+    # The paged table indexes the PERMUTED geometry: spot-check slot data.
+    pages = np.asarray(bvh.paged.pages)
+    first = np.asarray(bvh.paged.page_first)
+    v0 = np.asarray(geo.v0)
+    act = pages[:, 9, :] > 0
+    p, sl = np.nonzero(act)
+    np.testing.assert_allclose(pages[p, 2, sl], v0[first[p] + sl, 2],
+                               rtol=1e-6)
+
+
+def test_paged_closest_big_scene_matches_traverse():
+    """monkey_field 3x3 (4.5k tris): paged kernel vs the XLA wavefront."""
+    from romis_tpu.ops.traverse import bvh_closest
+    from romis_tpu.scene.scene import load_monkey_field
+
+    scene = load_monkey_field(3)
+    bvh, geo = build_bvh(scene.geometry)
+    assert bvh.paged is not None and bvh.paged.n_pages >= 4
+    rng = np.random.default_rng(5)
+    rays = _rand_rays(rng, 256, spread=4.0)
+    t_x, tri_x, u_x, v_x = bvh_closest(rays, geo, bvh)
+    t_p, tri_p, u_p, v_p = paged_closest(rays, bvh.paged, interpret=True)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(unpack_scalar(t_x)), unpack_scalar(t_x), -1),
+        np.where(np.isfinite(unpack_scalar(t_p)), unpack_scalar(t_p), -1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(unpack_scalar(tri_x),
+                                  unpack_scalar(tri_p))
