@@ -103,6 +103,34 @@ class Features:
     # (those carry proper re-evaluation custom_vjps).
     fused_resampling: bool = True
 
+    # Gradient-path RIS: winner-replay surrogate backward. The candidate
+    # scan runs DETACHED (no autodiff through S slots) and the reservoir
+    # outputs are re-derived differentiably from the winner's replay record
+    # (light index, u1, u2); d(w_sum)/dtheta uses a SECOND independent
+    # resampling race: E[(w_sum / w_J') * dw_J'] over J' ~ w/sum(w) equals
+    # sum_j dw_j exactly, and independence from the primary winner keeps the
+    # full gradient estimator unbiased for the exact autodiff gradient
+    # (statistically validated in tests/test_grad_surrogate.py). Cost: the
+    # backward evaluates 2 candidates per lane instead of S (16x fewer at
+    # reference defaults). Loss VALUES match the exact path to fusion-level
+    # float reassociation (~1 ulp); only the gradient is estimated —
+    # finite-difference tests keep this off. Gradient benches/production
+    # set it True.
+    surrogate_resampling_grad: bool = False
+
+    # Gradient-path spatial offsets: draw ONE (dy, dx) per (pass, neighbour)
+    # shared by every pixel instead of per-pixel offsets. The neighbour
+    # gather then becomes lax.dynamic_slice of an edge-padded stack whose
+    # VJP is a pad — the per-pixel path's gather VJP is a segment_sum
+    # scatter measured at 1.5 s per 1080p pass (scripts/grad_micro.py).
+    # Per-pixel offset MARGINALS are identical (uniform on the clamped
+    # +-radius box), so per-pixel image expectations — and hence any
+    # per-pixel loss such as L2 — are unchanged for a single pass; with
+    # multiple passes only cross-pixel noise correlation differs. Gradient
+    # paths (diff/grad.py, parallel/shard.py) set this True; forward
+    # rendering keeps per-pixel offsets.
+    coherent_spatial_offsets: bool = False
+
     # Temporal reprojection with motion vectors. The reference explicitly
     # lacks motion vectors (report §2; render_utils.cpp:151-172 indexes the
     # same screen coordinate); we add camera-motion reprojection as a

@@ -74,15 +74,42 @@ def vz(a):
     return jnp.take(a, 2, axis=VEC_AXIS)
 
 
+import jax
+
+
+@jax.custom_vjp
 def from_table(table, idx):
     """Gather [..., C, H, W] vectors from a [L, C] host table by an
     [..., H, W] integer field.
 
     Gathers per component from [L] columns: a single `table[idx]` would
     materialise a [..., C]-minor result that TPU pads C → 128 lanes (42x HBM
-    expansion measured at 1080p); per-component gathers stay image-minor."""
+    expansion measured at 1080p); per-component gathers stay image-minor.
+
+    custom_vjp: the table cotangent routes through the one-hot MXU scatter
+    kernel on TPU (ops/pallas_scatter.py) — XLA's native per-component
+    scatter-add is latency-bound (scripts/grad_micro.py)."""
     cols = [table[:, c][idx] for c in range(table.shape[1])]
     return jnp.stack(cols, axis=VEC_AXIS)
+
+
+def _from_table_fwd(table, idx):
+    return from_table(table, idx), (table.shape, idx)
+
+
+def _from_table_bwd(res, ct):
+    (t, c), idx = res
+    ct_planes = jnp.moveaxis(ct, VEC_AXIS, 0)  # [C, ..., H, W]
+    from ..ops.pallas_scatter import scatter_fits, scatter_rows_add
+
+    if scatter_fits(t):
+        return scatter_rows_add(ct_planes, idx, t), None
+    flat_ct = ct_planes.reshape(c, -1).T  # [N, C]
+    d_table = jax.ops.segment_sum(flat_ct, idx.ravel(), num_segments=t)
+    return d_table, None
+
+
+from_table.defvjp(_from_table_fwd, _from_table_bwd)
 
 
 def const_vec(v, like=None):

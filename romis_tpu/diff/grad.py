@@ -104,8 +104,11 @@ def render_with_params(
     Tone mapping is typically disabled for optimisation (linear losses)."""
     geometry, lights = apply_params(geometry, lights, params)
     # The fused resampling kernels have no VJP; their gradient is the XLA
-    # formulation (Features.fused_resampling docstring).
-    features = features.replace(fused_resampling=False)
+    # formulation (Features.fused_resampling docstring). Spatial offsets go
+    # coherent so the neighbour-gather VJP is a pad instead of a 1.5 s/pass
+    # scatter (Features.coherent_spatial_offsets docstring).
+    features = features.replace(fused_resampling=False,
+                                coherent_spatial_offsets=True)
     return render_restir_frame(key, cam, geometry, lights, num_lights,
                                height, width, features, prev)
 

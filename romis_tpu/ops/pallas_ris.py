@@ -133,8 +133,8 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
-                const_cols, affine_segments, shin_n, seed_ref, ctx_ref,
-                table_t_ref, *out_refs):
+                const_cols, affine_segments, shin_n, replay: bool,
+                seed_ref, ctx_ref, table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
 
@@ -229,10 +229,11 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
 
     def candidate(u_idx, u1, u2):
         """One candidate per pixel: light pick + point sample + target PDF
-        → (pos3, color3, p_hat)."""
+        → (pos3, color3, p_hat, idxf)."""
         if affine_segments is None:
             idx = jnp.minimum((u_idx * num_lights).astype(jnp.int32),
                               num_lights - 1)  # [bh, bw]
+            idxf = idx.astype(jnp.float32)
             comps = fetch_comps(idx)
         else:
             # Same truncation as the int path (floor of a non-negative
@@ -266,7 +267,7 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
         cg = bilerp(10, 13, 16, 19)
         cb = bilerp(11, 14, 17, 20)
         p_hat = _phong_phat(cx, lx, ly, lz, cr, cg, cb)
-        return (lx, ly, lz), (cr, cg, cb), p_hat
+        return (lx, ly, lz), (cr, cg, cb), p_hat, idxf
 
     # Per-lane running state, carried through a ROLLED step loop (the
     # fully unrolled slot loop compiled for minutes under Mosaic once the
@@ -274,24 +275,35 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
     # one candidate per lane (candidate j = step*K + lane, matching
     # ops/wrs._lane_layout).
     sk = -(-s_slots // k_lanes)
+    n_u = 5 if replay else 4
     init = []
     for _ in range(k_lanes):
-        init += [jnp.zeros((bh, bw), jnp.float32),        # w_sum
-                 jnp.full((bh, bw), -jnp.inf)]            # best score
-        init += [jnp.zeros((bh, bw), jnp.float32)] * 8    # pos3 col3 w p_hat
+        if replay:
+            # w_sum, race-1 (score, idxf, u1, u2), race-2 (score, idxf,
+            # u1, u2): same register count as the value-carrying layout.
+            init += [jnp.zeros((bh, bw), jnp.float32),
+                     jnp.full((bh, bw), -jnp.inf)]
+            init += [jnp.zeros((bh, bw), jnp.float32)] * 3
+            init += [jnp.full((bh, bw), -jnp.inf)]
+            init += [jnp.zeros((bh, bw), jnp.float32)] * 3
+        else:
+            init += [jnp.zeros((bh, bw), jnp.float32),     # w_sum
+                     jnp.full((bh, bw), -jnp.inf)]         # best score
+            init += [jnp.zeros((bh, bw), jnp.float32)] * 8  # pos3 col3 w ph
 
     def step(t, carry):
         carry = list(carry)
         bits = pltpu.bitcast(
-            pltpu.prng_random_bits((4 * k_lanes * bh, bw)), jnp.uint32)
+            pltpu.prng_random_bits((n_u * k_lanes * bh, bw)), jnp.uint32)
 
         def u(i):
             return _u01(bits[i * bh:(i + 1) * bh])
 
         for lane in range(k_lanes):
-            pos, col, p_hat = candidate(u(4 * lane), u(4 * lane + 1),
-                                        u(4 * lane + 2))
-            u_g = u(4 * lane + 3)
+            u_i, u_1, u_2 = (u(n_u * lane), u(n_u * lane + 1),
+                             u(n_u * lane + 2))
+            pos, col, p_hat, idxf = candidate(u_i, u_1, u_2)
+            u_g = u(n_u * lane + 3)
             # Candidate j = t*K + lane only exists while j < S.
             real = (t * k_lanes + lane < s_slots).astype(jnp.float32)
             w = p_hat * float(num_lights) * real
@@ -301,16 +313,38 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
             # the same distribution (A-ExpJ / exponential clocks).
             e_clock = -jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37
             score = jnp.where(w > 0.0, w / e_clock, -jnp.inf)
-            o = 10 * lane
+            o = (9 if replay else 10) * lane
             upd = score > carry[o + 1]
             carry[o] = carry[o] + w
             carry[o + 1] = jnp.where(upd, score, carry[o + 1])
-            vals = pos + col + ((w, p_hat))
-            for i, v in enumerate(vals):
-                carry[o + 2 + i] = jnp.where(upd, v, carry[o + 2 + i])
+            if replay:
+                for i, v in enumerate((idxf, u_1, u_2)):
+                    carry[o + 2 + i] = jnp.where(upd, v, carry[o + 2 + i])
+                # Second, independent race for the surrogate w_sum gradient
+                # (ops/wrs._gen_canonical_surrogate).
+                e2 = -jnp.log(jnp.maximum(u(n_u * lane + 4), 1e-37)) + 1e-37
+                score2 = jnp.where(w > 0.0, w / e2, -jnp.inf)
+                upd2 = score2 > carry[o + 5]
+                carry[o + 5] = jnp.where(upd2, score2, carry[o + 5])
+                for i, v in enumerate((idxf, u_1, u_2)):
+                    carry[o + 6 + i] = jnp.where(upd2, v, carry[o + 6 + i])
+            else:
+                vals = pos + col + ((w, p_hat))
+                for i, v in enumerate(vals):
+                    carry[o + 2 + i] = jnp.where(upd, v, carry[o + 2 + i])
         return tuple(carry)
 
     state = jax.lax.fori_loop(0, sk, step, tuple(init))
+
+    if replay:
+        # Outputs per lane: [w_sum, idx1, u1, v1, idx2, u2, v2].
+        for lane in range(k_lanes):
+            o = 9 * lane
+            planes = [state[o]] + list(state[o + 2:o + 5]) \
+                + list(state[o + 6:o + 9])
+            for i, v in enumerate(planes):
+                out_refs[lane * 7 + i][...] = v
+        return
 
     # Outputs: per lane [pos3, color3, w_sum, chosen_w, p_hat, big_w].
     for lane in range(k_lanes):
@@ -370,7 +404,8 @@ def gen_canonical_samples_pallas(
         functools.partial(_ris_kernel, s, k, num_lights,
                           tuple(float(c) for c in lane_counts),
                           const_cols, affine_segments,
-                          int(uniform_shin) if uniform_shin else None),
+                          int(uniform_shin) if uniform_shin else None,
+                          False),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
@@ -404,3 +439,70 @@ def gen_canonical_samples_pallas(
     # geometry for the shadow rays.
     return Reservoirs(pos=pos, color=color, w_sum=w_sum, m=m, big_w=big_w,
                       chosen_w=chosen)
+
+
+def gen_canonical_replay_pallas(
+    seed: jnp.ndarray,  # [] int32
+    ctx: ShadeCtx,
+    lights,
+    num_lights: int,
+    features: Features,
+    uniform_shin: float = None,
+    interpret: bool = False,
+):
+    """Detached RIS forward for the surrogate gradient
+    (ops/wrs._gen_canonical_surrogate): runs the fused candidate loop with
+    TWO independent races and returns only the per-lane replay records —
+    (w_sum [K, H, W], replay1, replay2), each replay a (light index f32,
+    u1, u2) tuple of [K, H, W] planes. The reservoir is re-derived
+    differentiably from these records by the caller."""
+    from .wrs import _lane_layout
+
+    h, w = ctx.depth_t.shape[-2:]
+    s = features.initial_light_samples
+    k = features.num_samples_in_reservoir
+    _, lane_counts, _ = _lane_layout(s, k)
+
+    packed = pack_ctx(ctx)
+    ph = (-h) % _BH
+    pw = (-w) % _BW
+    if ph or pw:
+        packed = jnp.pad(packed, ((0, 0), (0, ph), (0, pw)))
+    hp, wp = packed.shape[-2:]
+
+    l = lights.rows.shape[0]
+    l_pad = max(128, -(-l // 128) * 128)
+    table_t = jnp.pad(lights.rows, ((0, l_pad - l), (0, 0))).T
+
+    grid = (hp // _BH, wp // _BW)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32) for _ in range(7 * k))
+    out_specs = tuple(
+        pl.BlockSpec((_BH, _BW), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM) for _ in range(7 * k))
+    outs = pl.pallas_call(
+        functools.partial(_ris_kernel, s, k, num_lights,
+                          tuple(float(c) for c in lane_counts),
+                          getattr(lights, "const_cols", None),
+                          getattr(lights, "affine_segments", None),
+                          int(uniform_shin) if uniform_shin else None,
+                          True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CTX_PLANES, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), packed, table_t)
+
+    def lane_stack(i):
+        return jnp.stack([outs[lane * 7 + i][:h, :w] for lane in range(k)])
+
+    w_sum = lane_stack(0)
+    replay1 = (lane_stack(1), lane_stack(2), lane_stack(3))
+    replay2 = (lane_stack(4), lane_stack(5), lane_stack(6))
+    return w_sum, replay1, replay2

@@ -104,6 +104,13 @@ def gen_canonical_samples(
     instead of O(S*H*W). The running Gumbel-max over the stream is
     distribution-identical to a global argmax.
     """
+    # Surrogate-gradient mode first: it owns its own (detached) forward,
+    # which on TPU dispatches to the fused replay kernel — checking it
+    # before the plain fused path keeps autodiff off the VJP-less kernel.
+    if features.surrogate_resampling_grad:
+        return _gen_canonical_surrogate(key, ctx, lights, num_lights,
+                                        geometry, features)
+
     # Fused Pallas path on TPU (see ops/pallas_ris.py): whole candidate loop
     # on-chip; RNG stream differs (pltpu PRNG vs threefry) but is equally
     # deterministic, keyed off this function's key.
@@ -184,6 +191,150 @@ def gen_canonical_samples(
 
     return Reservoirs(
         pos=sel_pos, color=sel_color, w_sum=w_sum, m=m, big_w=big_w,
+        chosen_w=sel_w,
+    )
+
+
+def _gen_canonical_surrogate(
+    key: jax.Array,
+    ctx: ShadeCtx,
+    lights: LightTable,
+    num_lights: int,
+    geometry,
+    features: Features,
+) -> Reservoirs:
+    """gen_canonical_samples with the winner-replay surrogate gradient
+    (Features.surrogate_resampling_grad).
+
+    The candidate scan runs fully DETACHED (stop-gradded ctx/lights: no
+    backward through the S slots) and carries only replay records — the
+    winner's (light index, u1, u2) plus a SECOND, independent race's record.
+    The reservoir outputs are then re-derived differentiably from the
+    replay: pos/color/chosen_w/p_hat from the primary winner, and
+
+        d(w_sum)/dtheta  ~=  stopgrad(w_sum / w_J') * d w_J' / dtheta
+
+    from the second winner J' ~ w / sum(w): E_J'[(w_sum/w_J') dw_J'] =
+    sum_j dw_j exactly, and J' independent of the primary winner keeps the
+    composite estimator unbiased for the exact autodiff gradient
+    (tests/test_grad_surrogate.py validates this statistically).
+
+    Candidate draws reuse the exact path's u4 stream (the second race's
+    uniform comes from a folded key), so sampled candidates, the primary
+    winner, and every reservoir VALUE match the exact path (to ~1 ulp of
+    fusion reassociation) — only the gradient is estimated."""
+    h, w_img = ctx.depth_t.shape[-2:]
+    s = features.initial_light_samples
+    k = features.num_samples_in_reservoir
+    sk, lane_counts, lane_real = _lane_layout(s, k)
+
+    ctx_d = jax.lax.stop_gradient(ctx)
+    lights_d = jax.lax.stop_gradient(lights)
+
+    if (getattr(geometry, "use_pallas", False)
+            and jax.default_backend() == "tpu"):
+        # The detached forward needs no VJP, so it can run as the fused
+        # replay kernel even on gradient paths (its own PRNG stream —
+        # different from the threefry scan below, equally deterministic).
+        from .pallas_ris import gen_canonical_replay_pallas
+
+        seed = jax.random.key_data(key).astype(jnp.int32).sum()
+        w_sum, sel_iuv, sel2_iuv = gen_canonical_replay_pallas(
+            seed, ctx_d, lights_d, num_lights, features,
+            uniform_shin=getattr(geometry, "uniform_shin", None))
+        return _surrogate_tail(ctx, lights, num_lights, geometry, features,
+                               lane_counts, w_sum, sel_iuv, sel2_iuv)
+
+    keys = jax.random.split(key, sk)
+    real_per_slot = jnp.asarray(lane_real)
+
+    def step(carry, inp):
+        w_sum, best, sel_iuv, best2, sel2_iuv = carry
+        slot_key, real = inp
+        u4 = jax.random.uniform(slot_key, (4, k, h, w_img))
+        u_g2 = jax.random.uniform(jax.random.fold_in(slot_key, 77),
+                                  (k, h, w_img))
+        idx = jnp.minimum((u4[0] * num_lights).astype(jnp.int32),
+                          num_lights - 1)
+        comps = sample_lights_planes(lights_d, idx, u4[1], u4[2])
+        p_hat = target_pdf_planes(ctx_d, *comps, features)
+        w = (p_hat * float(num_lights)
+             * real[:, None, None].astype(jnp.float32))
+        log_w = jnp.log(jnp.maximum(w, 1e-37))
+        iuv = (idx.astype(jnp.float32), u4[1], u4[2])
+
+        g1 = -jnp.log(-jnp.log(jnp.maximum(u4[3], 1e-37)) + 1e-37)
+        score = jnp.where(w > 0.0, log_w + g1, -jnp.inf)
+        upd = score > best
+        g2 = -jnp.log(-jnp.log(jnp.maximum(u_g2, 1e-37)) + 1e-37)
+        score2 = jnp.where(w > 0.0, log_w + g2, -jnp.inf)
+        upd2 = score2 > best2
+        return (
+            w_sum + w,
+            jnp.where(upd, score, best),
+            tuple(jnp.where(upd, a, b) for a, b in zip(iuv, sel_iuv)),
+            jnp.where(upd2, score2, best2),
+            tuple(jnp.where(upd2, a, b) for a, b in zip(iuv, sel2_iuv)),
+        ), None
+
+    zeros = jnp.zeros((k, h, w_img))
+    init = (
+        zeros,
+        jnp.full((k, h, w_img), -jnp.inf),
+        (zeros, zeros, zeros),
+        jnp.full((k, h, w_img), -jnp.inf),
+        (zeros, zeros, zeros),
+    )
+    (w_sum, _, sel_iuv, _, sel2_iuv), _ = jax.lax.scan(
+        step, init, (keys, real_per_slot))
+    return _surrogate_tail(ctx, lights, num_lights, geometry, features,
+                           lane_counts, jax.lax.stop_gradient(w_sum),
+                           sel_iuv, sel2_iuv)
+
+
+def _surrogate_tail(ctx, lights, num_lights, geometry, features,
+                    lane_counts, w_sum, sel_iuv, sel2_iuv) -> Reservoirs:
+    """Differentiable reservoir reconstruction from detached replay records
+    (see _gen_canonical_surrogate). w_sum/sel_iuv/sel2_iuv are data."""
+    h, w_img = ctx.depth_t.shape[-2:]
+    k = features.num_samples_in_reservoir
+    # A lane has a winner iff some candidate weight was positive.
+    has_winner = jax.lax.stop_gradient(w_sum) > 0.0
+
+    def reeval(iuv):
+        idxf, u1, u2 = jax.lax.stop_gradient(iuv)  # replay record is data
+        comps = sample_lights_planes(lights, idxf.astype(jnp.int32), u1, u2)
+        p_hat = target_pdf_planes(ctx, *comps, features)
+        return comps, p_hat
+
+    comps1, p_hat1 = reeval(sel_iuv)
+    _, p_hat2 = reeval(sel2_iuv)
+    w2 = p_hat2 * float(num_lights)
+
+    # Single-sample w_sum gradient: value = w_sum, grad = (w_sum/w2) dw2.
+    w2_d = jax.lax.stop_gradient(w2)
+    ratio = jnp.where(w2_d > 0.0,
+                      w_sum / jnp.where(w2_d > 0.0, w2_d, 1.0), 0.0)
+    w_sum_diff = w_sum + ratio * (w2 - w2_d)
+
+    def mask(a):
+        return jnp.where(has_winner, a, 0.0)
+
+    sel_pos = jnp.stack([mask(c) for c in comps1[0:3]], axis=1)
+    sel_color = jnp.stack([mask(c) for c in comps1[3:6]], axis=1)
+    sel_p_hat = mask(p_hat1)
+    sel_w = sel_p_hat * float(num_lights)
+
+    m = jnp.broadcast_to(
+        jnp.asarray(lane_counts)[:, None, None], (k, h, w_img))
+    big_w = _safe_big_w(w_sum_diff, sel_p_hat, m, sel_p_hat > 0.0)
+
+    if features.initial_samples_visibility_check:
+        vis = visibility(ctx.position, sel_pos, geometry)
+        big_w = jnp.where(vis, big_w, 0.0)
+
+    return Reservoirs(
+        pos=sel_pos, color=sel_color, w_sum=w_sum_diff, m=m, big_w=big_w,
         chosen_w=sel_w,
     )
 

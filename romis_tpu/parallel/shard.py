@@ -82,7 +82,8 @@ def make_sharded_train_step(
     automatically (the analog of the gradient all-reduce row in SURVEY §2.4).
     """
 
-    grad_features = features.replace(fused_resampling=False)
+    grad_features = features.replace(fused_resampling=False,
+                                     coherent_spatial_offsets=True)
 
     def loss_fn(params: SceneParams, target, key, cam, prev):
         g, l = apply_params(geometry, lights, params)

@@ -348,6 +348,32 @@ def spatial_reuse(
                 uniform_shin=getattr(geometry, "uniform_shin", None))
         return unpack_reservoir_planes(res_planes, k)
 
+    if features.coherent_spatial_offsets:
+        # Gradient-path formulation: ONE offset per (pass, neighbour) shared
+        # by every pixel (Features.coherent_spatial_offsets). The gather is
+        # a dynamic_slice of the edge-padded stack — its VJP is a pad, vs
+        # the 1.5 s/pass segment_sum scatter of the per-pixel gather
+        # (scripts/grad_micro.py). Edge padding = the reference's border
+        # clamp (render_utils.cpp:109-110).
+        for p in range(features.spatial_resampling_passes):
+            kp = jax.random.fold_in(key, p)
+            offs = jax.random.randint(kp, (2, k_n), -radius, radius + 1)
+            planes = pack_pixel_planes(reservoirs, ctx)
+            padded = jnp.pad(planes, ((0, 0), (radius, radius),
+                                      (radius, radius)), mode="edge")
+            g = jnp.stack([
+                jax.lax.dynamic_slice(
+                    padded, (0, radius + offs[0, n], radius + offs[1, n]),
+                    planes.shape)
+                for n in range(k_n)])
+            nbr, nbr_ctx = unpack_pixel_planes(
+                g, features.num_samples_in_reservoir)
+            reservoirs = spatial_pass(
+                jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,
+                geometry, features,
+            )
+        return reservoirs
+
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]
 

@@ -42,7 +42,11 @@ def main():
     geometry, lights, nl = scene.geometry, scene.lights, scene.num_lights
     features = Features(enable_tone_mapping=False)
     if os.environ.get("GRAD_FUSED", "0") != "1":
-        features = features.replace(fused_resampling=False)
+        # Mirror diff/grad.render_with_params' gradient-path feature set.
+        features = features.replace(fused_resampling=False,
+                                    coherent_spatial_offsets=True)
+    if os.environ.get("GRAD_SURR", "1") == "1":
+        features = features.replace(surrogate_resampling_grad=True)
     prev = initial_temporal_state(h, w, features.num_samples_in_reservoir,
                                   cam)
     params0 = extract_params(geometry, lights)
