@@ -349,10 +349,13 @@ def _stream_weights(receiver: ShadeCtx, inputs: Reservoirs, in_mask, features):
     return w, p_hat
 
 
-def _select_lanewise(key, w, p_hat, inputs: Reservoirs, in_mask):
+def _select_lanewise(key, w, p_hat, inputs: Reservoirs, in_mask,
+                     gumbel=None):
     """Gumbel-max winner over the leading R axis, per output lane k.
-    w/p_hat: [R, K, H, W]."""
-    gumbel = jax.random.gumbel(key, w.shape)
+    w/p_hat: [R, K, H, W]. ``gumbel`` injects pre-drawn noise (shard-parity
+    tests feed both the single-device and halo paths identical planes)."""
+    if gumbel is None:
+        gumbel = jax.random.gumbel(key, w.shape)
     score = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + gumbel,
                       -jnp.inf)
     win = jnp.argmax(score, axis=0)  # [K, H, W]
@@ -385,6 +388,7 @@ def combine_biased(
     inputs: Reservoirs,  # fields [R, K, ..., H, W]
     in_mask: jnp.ndarray,  # [R, H, W] bool — which inputs participate
     features: Features,
+    gumbel=None,
 ) -> Reservoirs:
     """ReSTIR Algorithm 5 (reference Reservoir::combineBiased,
     reservoir.cpp:40-66): re-weight every input sample by
@@ -392,7 +396,7 @@ def combine_biased(
     W = wSum / (p_hat(winner) * M_total)."""
     w, p_hat = _stream_weights(receiver, inputs, in_mask, features)
     sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
-        key, w, p_hat, inputs, in_mask
+        key, w, p_hat, inputs, in_mask, gumbel
     )
     big_w = _safe_big_w(w_sum, sel_p_hat, m_out,
                         (sel_p_hat > 0.0) & (m_out > 0.0))

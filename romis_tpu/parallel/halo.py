@@ -116,19 +116,20 @@ def spatial_reuse_halo(
     geometry,
     features: Features,
     mesh,
+    inject=None,  # per-pass (offs [2,R,H,W], gumbel [R+1,K,H,W]) — tests
 ) -> Reservoirs:
     """shard_map spatial reuse over row bands. Semantically equivalent to
     render.restir.spatial_reuse (same gates, same combines); the random
     neighbour draws use per-device folded keys so the offset *pattern*
     differs from the single-device path, but the estimator contract is
-    identical."""
+    identical. ``inject`` feeds explicit global offsets + race noise so
+    parity tests can assert BITWISE equality against the single-device
+    path (tests/test_parallel.py)."""
     n_dev = mesh.shape[TILE_AXIS]
     assert height % n_dev == 0, "image rows must divide the mesh"
     h_loc = height // n_dev
     radius = features.spatial_resample_radius
     k_n = features.num_neighbours_to_sample
-
-    band = P(*([None] * 0), TILE_AXIS, None)  # sharded on axis -2
 
     def spec_for(a):
         return P(*([None] * (a.ndim - 2)), TILE_AXIS, None)
@@ -136,14 +137,16 @@ def spatial_reuse_halo(
     pix_specs_ctx = jax.tree.map(spec_for, ctx)
     pix_specs_res = jax.tree.map(spec_for, reservoirs)
     rep = jax.tree.map(lambda a: P(), geometry)
+    inj = tuple(inject) if inject is not None else ()
+    inj_specs = jax.tree.map(spec_for, inj)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), pix_specs_ctx, pix_specs_res, rep),
+        in_specs=(P(), pix_specs_ctx, pix_specs_res, rep, inj_specs),
         out_specs=pix_specs_res,
         check_rep=False,
     )
-    def run(key, ctx_l, res_l, geometry):
+    def run(key, ctx_l, res_l, geometry, inj_l):
         dev = jax.lax.axis_index(TILE_AXIS)
         base = dev * h_loc  # first global row of this band
         rows_g = base + jnp.arange(h_loc, dtype=jnp.int32)[:, None]
@@ -152,8 +155,12 @@ def spatial_reuse_halo(
 
         for p in range(features.spatial_resampling_passes):
             kp = jax.random.fold_in(dkey, p)
-            offs = jax.random.randint(kp, (2, k_n, h_loc, width),
-                                      -radius, radius + 1)
+            gumbel = None
+            if inj_l:
+                offs, gumbel = inj_l[p]
+            else:
+                offs = jax.random.randint(kp, (2, k_n, h_loc, width),
+                                          -radius, radius + 1)
             gy = jnp.clip(rows_g[None] + offs[0], 0, height - 1)
             nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
             iy = gy - base + radius  # local index into the halo-extended band
@@ -169,8 +176,8 @@ def spatial_reuse_halo(
 
             res_l = spatial_pass(
                 jax.random.fold_in(kp, 1000), ctx_l, res_l, nbr, nbr_ctx,
-                geometry, features,
+                geometry, features, gumbel,
             )
         return res_l
 
-    return run(key, ctx, reservoirs, geometry)
+    return run(key, ctx, reservoirs, geometry, inj)

@@ -192,6 +192,7 @@ def spatial_pass(
     nbr_ctx: ShadeCtx,  # gathered neighbour geometry, fields [R, ..., h, w]
     geometry,
     features: Features,
+    gumbel=None,  # optional pre-drawn [R+1, K, h, w] race noise (parity tests)
 ) -> Reservoirs:
     """One spatial-reuse combine given already-gathered neighbours: apply the
     depth/normal rejection gates (biased mode, render_utils.cpp:113-118) and
@@ -227,7 +228,8 @@ def spatial_pass(
         return combine_unbiased(
             combine_key, ctx, inputs, in_mask, input_ctxs, geometry, features
         )
-    return combine_biased(combine_key, ctx, inputs, in_mask, features)
+    return combine_biased(combine_key, ctx, inputs, in_mask, features,
+                          gumbel)
 
 
 def pack_pixel_planes(res: Reservoirs, ctx: ShadeCtx) -> jnp.ndarray:
@@ -309,6 +311,7 @@ def spatial_reuse(
     width: int,
     geometry,
     features: Features,
+    inject=None,  # per-pass (offs [2,R,H,W], gumbel [R+1,K,H,W]) — tests
 ) -> Reservoirs:
     """Spatial reuse (reference spatialReuse, render_utils.cpp:87-140):
     per pass, every pixel picks ``num_neighbours_to_sample`` uniform offsets
@@ -324,7 +327,8 @@ def spatial_reuse(
     # — the gathered [R, C, H, W] planes never round-trip through HBM.
     # The unbiased combine needs neighbour-origin shadow rays, so it keeps
     # the gather-then-combine path below.
-    if (features.fused_spatial_gather
+    if (inject is None
+            and features.fused_spatial_gather
             and features.fused_resampling
             and getattr(geometry, "use_pallas", False)
             and jax.default_backend() == "tpu"
@@ -348,7 +352,7 @@ def spatial_reuse(
                 uniform_shin=getattr(geometry, "uniform_shin", None))
         return unpack_reservoir_planes(res_planes, k)
 
-    if features.coherent_spatial_offsets:
+    if features.coherent_spatial_offsets and inject is None:
         # Gradient-path formulation: ONE offset per (pass, neighbour) shared
         # by every pixel (Features.coherent_spatial_offsets). The gather is
         # a dynamic_slice of the edge-padded stack — its VJP is a pad, vs
@@ -379,9 +383,14 @@ def spatial_reuse(
 
     for p in range(features.spatial_resampling_passes):
         kp = jax.random.fold_in(key, p)
-        offs = jax.random.randint(kp, (2, k_n, height, width),
-                                  -radius, radius + 1)
-        if (features.fused_spatial_gather
+        gumbel = None
+        if inject is not None:
+            offs, gumbel = inject[p]
+        else:
+            offs = jax.random.randint(kp, (2, k_n, height, width),
+                                      -radius, radius + 1)
+        if (inject is None
+                and features.fused_spatial_gather
                 and features.fused_resampling
                 and getattr(geometry, "use_pallas", False)
                 and jax.default_backend() == "tpu"):
@@ -409,7 +418,7 @@ def spatial_reuse(
 
         reservoirs = spatial_pass(
             jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr, nbr_ctx,
-            geometry, features,
+            geometry, features, gumbel,
         )
 
     return reservoirs
