@@ -51,6 +51,12 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Multi-host: a no-op unless the standard cluster env vars are set
+    # (parallel/launch.py) — the same CLI serves one chip and a pod.
+    from .parallel.launch import maybe_init_distributed
+
+    maybe_init_distributed()
+
     from .core.camera import make_camera
     from .core.features import RayTraceMode
     from .io.config import CameraConfig, Config, read_config_file

@@ -1,0 +1,145 @@
+"""Scaling-efficiency harness (BASELINE.md metrics section).
+
+Runs the two SPMD frame paths — GSPMD row sharding (parallel/shard.py,
+render_frame_sharded) and hand-scheduled ppermute halo exchange
+(parallel/halo.py, render_frame_halo) — over 1/2/4/8-device meshes and
+emits a JSON scaling table: ms/frame, rays/s, parallel efficiency vs the
+1-device run, and the analytic halo traffic per frame.
+
+Real multi-chip hardware is not reachable from this container (one v5e
+chip behind a tunnel), so the default run uses the 8-virtual-device CPU
+backend: the numbers validate that the collectives compile, the work
+partitions, and nothing serialises — the per-device efficiency of virtual
+devices on one host is a LOWER bound (they contend for the same cores).
+On a real pod slice the same script runs unchanged per host after
+`parallel/launch.maybe_init_distributed()`.
+
+Run: python scripts/scaling_bench.py [--tpu] [--res HxW] [--frames N]
+Writes scaling_table.json next to this script's repo root.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_path(name, frame_fn, key, prev, n_frames):
+    """Scan n_frames inside one jit; min-of-3 wall clocks."""
+
+    def frames(key, prev):
+        def body(state, k):
+            img, state = frame_fn(k, state)
+            return state, jnp.mean(img)
+
+        keys = jax.random.split(key, n_frames)
+        state, means = jax.lax.scan(body, prev, keys)
+        return jnp.sum(means)
+
+    fn = jax.jit(frames)
+    t0 = time.perf_counter()
+    float(fn(key, prev))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(fn(jax.random.fold_in(key, r), prev))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_frames, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real TPU backend (1 chip) instead of "
+                         "the 8-virtual-device CPU mesh")
+    ap.add_argument("--res", default="256x512")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from romis_tpu.core.features import Features
+    from romis_tpu.parallel.halo import render_frame_halo
+    from romis_tpu.parallel.launch import maybe_init_distributed
+    from romis_tpu.parallel.mesh import make_mesh
+    from romis_tpu.parallel.shard import render_frame_sharded
+    from romis_tpu.render.restir import initial_temporal_state
+    import __graft_entry__ as ge
+
+    maybe_init_distributed()
+    h, w = (int(x) for x in args.res.split("x"))
+    scene = ge._flagship_scene()
+    cam = ge._flagship_camera(h, w)
+    features = Features(enable_tone_mapping=False)
+    k = features.num_samples_in_reservoir
+    prev = initial_temporal_state(h, w, k, cam)
+    key = jax.random.PRNGKey(0)
+    rays_per_frame = h * w * (1 + k)
+
+    n_dev_all = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_dev_all and h % n == 0]
+
+    # Analytic halo traffic for the ppermute path: per pass, each device
+    # sends radius rows x W lanes x (reservoir + ctx planes) in BOTH
+    # directions (parallel/halo._halo_extend exchanges res_ext AND ctx_ext).
+    res_planes = 10 * k
+    ctx_planes = 19  # ShadeCtx: 5x3 vec + shin + depth + geom_id + valid
+    halo_bytes_per_pass_per_dev = (
+        2 * features.spatial_resample_radius * w
+        * (res_planes + ctx_planes) * 4 * 2)  # up+down
+
+    table = {"backend": jax.default_backend(), "resolution": [h, w],
+             "frames": args.frames, "paths": {}}
+    base = {}
+    for path_name, frame in (
+        ("gspmd", render_frame_sharded), ("halo", render_frame_halo),
+    ):
+        rows = {}
+        for n in sizes:
+            mesh = make_mesh(n)
+            with mesh:
+                def frame_fn(key_, prev_, mesh=mesh, frame=frame):
+                    return frame(key_, cam, scene.geometry, scene.lights,
+                                 scene.num_lights, h, w, features, prev_,
+                                 mesh)
+
+                spf, compile_s = bench_path(path_name, frame_fn, key, prev,
+                                            args.frames)
+            rays_s = rays_per_frame / spf
+            if n == 1:
+                base[path_name] = spf
+            eff = base[path_name] / (spf * n)
+            rows[str(n)] = {
+                "ms_per_frame": round(spf * 1e3, 2),
+                "rays_per_s": round(rays_s),
+                "efficiency_vs_1dev": round(eff, 3),
+                "halo_bytes_per_frame": (
+                    halo_bytes_per_pass_per_dev
+                    * features.spatial_resampling_passes * n
+                    if path_name == "halo" and n > 1 else 0),
+                "compile_s": round(compile_s, 1),
+            }
+            print(f"{path_name} n={n}: {spf*1e3:8.2f} ms/frame "
+                  f"eff={eff:.2f}", flush=True)
+        table["paths"][path_name] = rows
+
+    out = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                   "scaling_table.json")
+    with open(out, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    main()
