@@ -561,6 +561,230 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
         out_ref[9 * k + lane] = sel[lane][6]
 
 
+def _pass_unbiased_kernel(n_nbr: int, radius: int, k: int, n_tj: int,
+                          n_steps: int, bh: int, shin_n, h_real: int,
+                          w_real: int, vis_check: bool,
+                          seed_ref, cen_res_ref, cen_ctx_ref,
+                          ctx_hbm, res_hbm, *refs):
+    """One UNBIASED spatial-reuse pass per tile (ReSTIR Alg. 6, reference
+    Reservoir::combineUnbiased reservoir.cpp:68-104): the same gather +
+    stream race as _pass_kernel (mask = 1: no similarity gates,
+    render/restir.spatial_pass unbiased branch), then a SECOND sweep
+    re-resolves each neighbour's shading context through the STORED
+    offsets and counts Z = sum_r m_r * [p_hat_r(winner) > 0] in-kernel.
+
+    With vis_check the kernel additionally emits, per neighbour stream,
+    the resolved surface position and the per-lane m_r * [p_hat_r > 0]
+    term, plus Z_phat and p_hat(winner): the caller subtracts occluded
+    streams from Z with ONE batched any-hit over all (stream, lane) rays
+    (reservoir.cpp:85-93 semantics) — the ray batch reuses whichever
+    backend intersect_any_fast picks (soup kernel or paged BVH), instead
+    of an in-kernel 6x triangle loop that measured slower than the
+    dedicated any-hit kernel."""
+    from .pallas_ris import _phong_phat, hoist_unit_view
+
+    if vis_check:
+        out_ref, zp_ref, ps_ref, nbr_pos_ref, nbr_mf_ref = refs[:5]
+        ctx_scr, res_scr, sem_c, sem_r = refs[5:]
+    else:
+        out_ref = refs[0]
+        ctx_scr, res_scr, sem_c, sem_r = refs[1:]
+
+    bw = _BW
+    he, we = _halo_window(radius, bh, bw)
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + ti * 48271 + tj * 719)
+
+    step = ti * n_tj + tj
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def copies(i, j, s):
+        dma_c = pltpu.make_async_copy(
+            ctx_hbm.at[:, pl.ds(i * bh, he), pl.ds(j * bw, we)],
+            ctx_scr.at[s], sem_c.at[s])
+        dma_r = pltpu.make_async_copy(
+            res_hbm.at[:, pl.ds(i * bh, he), pl.ds(j * bw, we)],
+            res_scr.at[s], sem_r.at[s])
+        return dma_c, dma_r
+
+    @pl.when(step == 0)
+    def _first():
+        dma_c, dma_r = copies(ti, tj, slot)
+        dma_c.start()
+        dma_r.start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch_next():
+        nj = tj + 1
+        wrap = nj >= n_tj
+        ni = jnp.where(wrap, ti + 1, ti)
+        nj = jnp.where(wrap, 0, nj)
+        dma_c, dma_r = copies(ni, nj, nslot)
+        dma_c.start()
+        dma_r.start()
+
+    dma_c, dma_r = copies(ti, tj, slot)
+
+    cx = {
+        "px": cen_ctx_ref[0], "py": cen_ctx_ref[1], "pz": cen_ctx_ref[2],
+        "nx": cen_ctx_ref[3], "ny": cen_ctx_ref[4], "nz": cen_ctx_ref[5],
+        "vx": cen_ctx_ref[6], "vy": cen_ctx_ref[7], "vz": cen_ctx_ref[8],
+        "kdx": cen_ctx_ref[9], "kdy": cen_ctx_ref[10],
+        "kdz": cen_ctx_ref[11], "ksx": cen_ctx_ref[12],
+        "ksy": cen_ctx_ref[13], "ksz": cen_ctx_ref[14],
+        "shin": cen_ctx_ref[15], "valid": cen_ctx_ref[17],
+        "shin_n": shin_n,
+    }
+    hoist_unit_view(cx)
+
+    def gumbel_u(count):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((count * bh, bw)),
+                             jnp.uint32)
+        return [_u01(bits[i * bh:(i + 1) * bh]) for i in range(count)]
+
+    w_sum = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k)]
+    m_out = [jnp.zeros((bh, bw), jnp.float32) for _ in range(k)]
+    best = [jnp.full((bh, bw), -jnp.inf) for _ in range(k)]
+    sel = [[jnp.zeros((bh, bw), jnp.float32) for _ in range(8)]
+           for _ in range(k)]
+
+    def stream(lane, pos3, col3, big_w, m, u_g):
+        p_hat = _phong_phat(cx, *pos3, *col3)
+        w = p_hat * big_w * m
+        e_clock = -jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37
+        score = jnp.where(w > 0.0, w / e_clock, -jnp.inf)
+        upd = score > best[lane]
+        w_sum[lane] = w_sum[lane] + w
+        m_out[lane] = m_out[lane] + m
+        best[lane] = jnp.where(upd, score, best[lane])
+        vals = pos3 + col3 + (w, p_hat)
+        sel[lane] = [jnp.where(upd, v, o) for v, o in zip(vals, sel[lane])]
+
+    ug_self = gumbel_u(k)
+    for lane in range(k):
+        stream(
+            lane,
+            tuple(cen_res_ref[3 * lane + c] for c in range(3)),
+            tuple(cen_res_ref[3 * k + 3 * lane + c] for c in range(3)),
+            cen_res_ref[8 * k + lane], cen_res_ref[7 * k + lane],
+            ug_self[lane])
+
+    dma_c.wait()
+    dma_r.wait()
+    c_scr = ctx_scr.at[slot]
+    r_scr = res_scr.at[slot]
+    # Pass-A lane-stacked slots: reservoir pos 3K | color 3K | big_w K | m K.
+    stacked_res = jnp.concatenate(
+        [r_scr[i] for i in range(6 * k)]
+        + [r_scr[8 * k + lane] for lane in range(k)]
+        + [r_scr[7 * k + lane] for lane in range(k)], axis=1)
+    # Pass-B slots: ctx position3 normal3 view3 kd3 ks3 shin valid (17,
+    # pack_center_ctx order skipping depth) + reservoir m (K).
+    stacked_ctx = jnp.concatenate(
+        [c_scr[i] for i in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+                            14, 15, 17)]
+        + [r_scr[7 * k + lane] for lane in range(k)], axis=1)
+
+    iota_he = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 1)
+    row_plus_r = jax.lax.broadcasted_iota(jnp.int32, (bh, he), 0) + radius
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    row_lo = radius - ti * bh
+    row_hi = radius + h_real - 1 - ti * bh
+    lane_lo_b = radius - tj * bw
+    lane_hi_b = radius + w_real - 1 - tj * bw
+
+    def resolve(stacked, slots, dy, dx):
+        """Row one-hot matmul + per-slot lane gather at offsets (dy, dx)."""
+        target = jnp.clip(row_plus_r + dy, row_lo, row_hi)
+        onehot = (iota_he == target).astype(jnp.float32)
+        r_all = jax.lax.dot_general(
+            onehot, stacked, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        lane_idx = jnp.clip(iota_bw + radius + dx, lane_lo_b, lane_hi_b)
+        lane_lo = jnp.minimum(lane_idx, bw - 1)
+        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
+        use_lo = lane_idx < bw
+
+        def nb(s):
+            rl = r_all[:, s * we:(s + 1) * we]
+            t_lo = rl[:, :bw]
+            t_hi = pltpu.roll(rl, shift=bw, axis=1)[:, :bw]
+            return jnp.where(
+                use_lo,
+                jnp.take_along_axis(t_lo, lane_lo, axis=1),
+                jnp.take_along_axis(t_hi, lane_hi, axis=1))
+
+        return [nb(s) for s in slots]
+
+    offsets = []
+    for _ in range(n_nbr):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2 * bh, bw)),
+                             jnp.uint32)
+        dy = (jnp.minimum((_u01(bits[:bh]) * (2 * radius + 1))
+                          .astype(jnp.int32), 2 * radius) - radius)[:, 0:1]
+        dx = (jnp.minimum((_u01(bits[bh:]) * (2 * radius + 1))
+                          .astype(jnp.int32), 2 * radius) - radius)
+        offsets.append((dy, dx))
+        g = resolve(stacked_res, range(8 * k), dy, dx)
+        ug = gumbel_u(k)
+        for lane in range(k):
+            stream(
+                lane,
+                tuple(g[3 * lane + c] for c in range(3)),
+                tuple(g[3 * k + 3 * lane + c] for c in range(3)),
+                g[6 * k + lane], g[7 * k + lane], ug[lane])
+
+    # ===== Z-count sweep (winner known) =====
+    # Self input: p_hat at the receiver of the winner IS sel p_hat.
+    z = [jnp.where(sel[lane][7] > 0.0, cen_res_ref[7 * k + lane], 0.0)
+         for lane in range(k)]
+
+    for n in range(n_nbr):
+        dy, dx = offsets[n]
+        g = resolve(stacked_ctx, range(17 + k), dy, dx)
+        cxn = {
+            "px": g[0], "py": g[1], "pz": g[2],
+            "nx": g[3], "ny": g[4], "nz": g[5],
+            "vx": g[6], "vy": g[7], "vz": g[8],
+            "kdx": g[9], "kdy": g[10], "kdz": g[11],
+            "ksx": g[12], "ksy": g[13], "ksz": g[14],
+            "shin": g[15], "valid": g[16],
+            "shin_n": shin_n,
+        }
+        hoist_unit_view(cxn)
+        for lane in range(k):
+            p_n = _phong_phat(cxn, *sel[lane][0:3], *sel[lane][3:6])
+            m_n = g[17 + lane]
+            mf = jnp.where(p_n > 0.0, m_n, 0.0)
+            z[lane] = z[lane] + mf
+            if vis_check:
+                nbr_mf_ref[n * k + lane] = mf
+        if vis_check:
+            for c in range(3):
+                nbr_pos_ref[3 * n + c] = g[c]
+
+    # Outputs in pack_pixel_planes reservoir order.
+    for lane in range(k):
+        p_sel = sel[lane][7]
+        cond = (p_sel > 0.0) & (z[lane] > 0.0)
+        denom = jnp.where(cond, p_sel * z[lane], 1.0)
+        big_w = jnp.where(cond, w_sum[lane] / denom, 0.0)
+        for c in range(3):
+            out_ref[3 * lane + c] = sel[lane][c]
+            out_ref[3 * k + 3 * lane + c] = sel[lane][3 + c]
+        out_ref[6 * k + lane] = w_sum[lane]
+        out_ref[7 * k + lane] = m_out[lane]
+        out_ref[8 * k + lane] = big_w
+        out_ref[9 * k + lane] = sel[lane][6]
+        if vis_check:
+            zp_ref[lane] = z[lane]
+            ps_ref[lane] = p_sel
+
+
 def pad_halo(planes: jnp.ndarray, radius: int, bh: int = None,
              bw: int = None, mode: str = "edge") -> jnp.ndarray:
     """Pad [C, H, W] planes for the halo DMA windows. mode="edge" makes a
@@ -588,6 +812,110 @@ def pad_halo(planes: jnp.ndarray, radius: int, bh: int = None,
 # was measured and REJECTED: XLA's stack+transpose prep costs 2-4 ms at
 # 1080p, more than the DMA it saves. The experiment lives in
 # scripts/halo_prep_micro.py (v_transpose / v_concat variants).
+
+
+def spatial_pass_unbiased_pallas(
+    seed,
+    res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
+    cen_ctx: jnp.ndarray,  # [18, H, W] pack_center_ctx (also the halo src)
+    k: int,
+    n_nbr: int,
+    radius: int,
+    geometry=None,  # needed when vis_check (shadow rays)
+    vis_check: bool = False,
+    uniform_shin: float = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused UNBIASED spatial-reuse pass → updated reservoir planes
+    [10K, H, W] (estimator contract = ops/wrs.combine_unbiased over
+    {self, neighbours}; reference Reservoir::combineUnbiased
+    reservoir.cpp:68-104). With vis_check, Z's per-input visibility
+    (reservoir.cpp:85-93) runs as one batched any-hit over every
+    (stream, lane) ray AFTER the kernel, then W is re-derived."""
+    if radius > 64:
+        raise ValueError("fused spatial pass supports radius <= 64")
+    _, h, w = cen_ctx.shape
+    bh = pick_tile_h(h)
+    align_h = (-h) % bh
+    align_w = (-w) % _BW
+    he, we = _halo_window(radius, bh)
+
+    res_pad = pad_halo(res_planes, radius, bh, mode="constant")
+    ctx_pad = pad_halo(cen_ctx, radius, bh, mode="constant")
+    if align_h or align_w:
+        res_planes_p = jnp.pad(res_planes,
+                               ((0, 0), (0, align_h), (0, align_w)))
+        cen_ctx_p = jnp.pad(cen_ctx, ((0, 0), (0, align_h), (0, align_w)))
+    else:
+        res_planes_p, cen_ctx_p = res_planes, cen_ctx
+    hp, wp = h + align_h, w + align_w
+    grid = (hp // bh, wp // _BW)
+
+    tile_spec = lambda c: pl.BlockSpec((c, bh, _BW), lambda i, j: (0, i, j),
+                                       memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((10 * k, hp, wp), jnp.float32)]
+    out_specs = [tile_spec(10 * k)]
+    if vis_check:
+        out_shape += [
+            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),        # Z_phat
+            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),        # p_hat*
+            jax.ShapeDtypeStruct((3 * n_nbr, hp, wp), jnp.float32),  # pos
+            jax.ShapeDtypeStruct((n_nbr * k, hp, wp), jnp.float32),  # m*flag
+        ]
+        out_specs += [tile_spec(k), tile_spec(k), tile_spec(3 * n_nbr),
+                      tile_spec(n_nbr * k)]
+
+    outs = pl.pallas_call(
+        functools.partial(_pass_unbiased_kernel, n_nbr, radius, k,
+                          grid[1], grid[0] * grid[1], bh,
+                          int(uniform_shin) if uniform_shin else None,
+                          h, w, vis_check),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            tile_spec(10 * k),   # center reservoirs
+            tile_spec(18),       # center ctx
+            pl.BlockSpec(memory_space=pl.ANY),  # ctx halo planes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # reservoir halo planes
+        ],
+        out_specs=tuple(out_specs) if vis_check else out_specs[0],
+        out_shape=tuple(out_shape) if vis_check else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, 18, he, we), jnp.float32),
+            pltpu.VMEM((2, 10 * k, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), res_planes_p, cen_ctx_p, ctx_pad,
+      res_pad)
+
+    if not vis_check:
+        return outs[:, :h, :w]
+
+    out, z_phat, p_star, nbr_pos, nbr_mf = (o[:, :h, :w] for o in outs)
+    # Batched any-hit for every (stream, lane) ray: origins = each input's
+    # surface point (neighbour positions from the kernel; self = receiver),
+    # targets = the winning sample position, visibility() semantics
+    # (ops/wrs.visibility_from / reference utils.cpp:41-56).
+    from .wrs import visibility_from
+
+    win_pos = out[0:3 * k].reshape(k, 3, h, w)  # [K, 3, H, W]
+    origins = jnp.concatenate([
+        cen_ctx[0:3][None],                      # self [1, 3, H, W]
+        nbr_pos.reshape(n_nbr, 3, h, w),         # [R, 3, H, W]
+    ])  # [R+1, 3, H, W]
+    vis = visibility_from(origins[:, None], win_pos[None], geometry)
+    # vis: [R+1, K, H, W]; subtract occluded streams' m-terms from Z.
+    m_self = res_planes[7 * k:8 * k]  # input (pre-pass) self m, [K, H, W]
+    self_term = jnp.where((p_star > 0.0) & ~vis[0], m_self, 0.0)
+    nbr_terms = jnp.where(~vis[1:], nbr_mf.reshape(n_nbr, k, h, w), 0.0)
+    z = z_phat - self_term - jnp.sum(nbr_terms, axis=0)
+
+    w_sum = out[6 * k:7 * k]
+    cond = (p_star > 0.0) & (z > 0.0)
+    big_w = jnp.where(cond, w_sum / jnp.where(cond, p_star * z, 1.0), 0.0)
+    return jnp.concatenate([out[:8 * k], big_w, out[9 * k:]], axis=0)
 
 
 def pack_center_ctx(ctx) -> jnp.ndarray:

@@ -327,6 +327,33 @@ def spatial_reuse(
     # — the gathered [R, C, H, W] planes never round-trip through HBM.
     # The unbiased combine needs neighbour-origin shadow rays, so it keeps
     # the gather-then-combine path below.
+    # Fused UNBIASED path (ReSTIR Alg. 6): the pass kernel re-resolves each
+    # neighbour's shading context through its stored offsets and counts Z
+    # on-chip; with spatial_reuse_visibility_check the per-input shadow
+    # rays run as one batched any-hit after the kernel
+    # (ops/pallas_spatial.spatial_pass_unbiased_pallas).
+    if (inject is None
+            and features.unbiased_combination
+            and features.fused_spatial_gather
+            and features.fused_resampling
+            and getattr(geometry, "use_pallas", False)
+            and jax.default_backend() == "tpu"):
+        from ..ops.pallas_spatial import (
+            pack_center_ctx, spatial_pass_unbiased_pallas,
+        )
+
+        cen_ctx = pack_center_ctx(ctx)
+        res_planes = pack_reservoir_planes(reservoirs)
+        for p in range(features.spatial_resampling_passes):
+            kp = jax.random.fold_in(key, p)
+            seed = jax.random.key_data(kp).astype(jnp.int32).sum()
+            res_planes = spatial_pass_unbiased_pallas(
+                seed, res_planes, cen_ctx, k, k_n, radius,
+                geometry=geometry,
+                vis_check=features.spatial_reuse_visibility_check,
+                uniform_shin=getattr(geometry, "uniform_shin", None))
+        return unpack_reservoir_planes(res_planes, k)
+
     if (inject is None
             and features.fused_spatial_gather
             and features.fused_resampling

@@ -4,6 +4,7 @@ re-evaluation backward pass."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from romis_tpu.core.types import Rays
 from romis_tpu.ops.intersect import (
@@ -280,6 +281,93 @@ def test_spatial_pass_kernel_matches_combine_semantics():
     cond = (sel_p_hat > 0) & (m_out > 0)
     big_w = np.where(cond, w_sum / np.where(cond, sel_p_hat * m_out, 1.0),
                      0.0)
+
+    np.testing.assert_allclose(np.asarray(got.w_sum), w_sum, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.m), m_out, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.big_w), big_w, rtol=2e-3,
+                               atol=1e-4)
+    sel_mask = any_pos[:, None]
+    np.testing.assert_allclose(np.asarray(got.pos) * sel_mask,
+                               sel_pos * sel_mask, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("vis_check", [False, True],
+                         ids=["novis", "vischeck"])
+def test_spatial_pass_unbiased_kernel_matches_combine(vis_check):
+    """Fused UNBIASED spatial pass (interpret: zero PRNG → offsets (-r,-r),
+    constant race clock) vs a replay of combine_unbiased: no gates, m_out
+    sums every stream, Z counts each input's m where the winner's target
+    PDF at that input's own context (x its visibility when vis_check) is
+    positive, W = wSum / (p_hat* x Z)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_spatial import (
+        pack_center_ctx, spatial_pass_unbiased_pallas,
+    )
+    from romis_tpu.ops.shading import target_pdf
+    from romis_tpu.ops.wrs import visibility_from
+    from romis_tpu.render.restir import (
+        pack_pixel_planes, pack_reservoir_planes, unpack_pixel_planes,
+        unpack_reservoir_planes,
+    )
+    from romis_tpu.scene.scene import load_prebuilt
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, r, k, n_nbr = 40, 150, 3, 2, 2
+    feats = Features()
+    res, ctx = random_reservoirs_and_ctx(np.random.default_rng(3), h, w, k)
+    geometry = load_prebuilt("cornell_box").geometry
+
+    got = unpack_reservoir_planes(
+        spatial_pass_unbiased_pallas(
+            5, pack_reservoir_planes(res), pack_center_ctx(ctx), k, n_nbr,
+            r, geometry=geometry, vis_check=vis_check,
+            interpret=pltpu.InterpretParams()), k)
+
+    planes = pack_pixel_planes(res, ctx)
+    ys = np.clip(np.arange(h) - r, 0, h - 1)
+    xs = np.clip(np.arange(w) - r, 0, w - 1)
+    g = np.asarray(planes)[:, ys][:, :, xs]
+    nbr, nbr_ctx = unpack_pixel_planes(jnp.asarray(g)[None], k)
+
+    def stack(field_self, field_nbr):
+        return np.stack([field_self] + [field_nbr] * n_nbr, axis=0)
+
+    p_self = np.asarray(target_pdf(ctx, res.pos, res.color, feats))
+    p_nbr = np.asarray(target_pdf(ctx, nbr.pos[0], nbr.color[0], feats))
+    p_hat = stack(p_self, p_nbr)  # [R+1, K, H, W]
+    w_stream = (p_hat * stack(np.asarray(res.big_w), np.asarray(nbr.big_w[0]))
+                * stack(np.asarray(res.m), np.asarray(nbr.m[0])))
+
+    w_sum = w_stream.sum(axis=0)
+    m_all = stack(np.asarray(res.m), np.asarray(nbr.m[0]))
+    m_out = m_all.sum(0)
+    win = np.argmax(w_stream, axis=0)
+    any_pos = (w_stream > 0).any(axis=0)
+    take = np.take_along_axis
+    sel_p_hat = take(p_hat, win[None], 0)[0] * any_pos
+    pos_all = stack(np.asarray(res.pos), np.asarray(nbr.pos[0]))
+    col_all = stack(np.asarray(res.color), np.asarray(nbr.color[0]))
+    sel_pos = take(pos_all, win[:, None][None], 0)[0]
+    sel_col = take(col_all, win[:, None][None], 0)[0]
+
+    # Z: winner evaluated at each input's own context.
+    p_at_self = np.asarray(
+        target_pdf(ctx, jnp.asarray(sel_pos), jnp.asarray(sel_col), feats))
+    ctx1 = jax.tree.map(lambda a: a[0], nbr_ctx)
+    p_at_nbr = np.asarray(
+        target_pdf(ctx1, jnp.asarray(sel_pos), jnp.asarray(sel_col), feats))
+    flags = stack(p_at_self > 0, p_at_nbr > 0)
+    if vis_check:
+        origins = jnp.stack(
+            [ctx.position] + [nbr_ctx.position[0]] * n_nbr)  # [R+1, 3, H, W]
+        vis = np.asarray(visibility_from(
+            origins[:, None], jnp.asarray(sel_pos)[None], geometry))
+        flags = flags & vis
+    z = (m_all * flags).sum(0)
+    cond = (sel_p_hat > 0) & (z > 0)
+    big_w = np.where(cond, w_sum / np.where(cond, sel_p_hat * z, 1.0), 0.0)
 
     np.testing.assert_allclose(np.asarray(got.w_sum), w_sum, rtol=2e-4,
                                atol=1e-5)
