@@ -125,11 +125,22 @@ class Features:
     # scatter measured at 1.5 s per 1080p pass (scripts/grad_micro.py).
     # Per-pixel offset MARGINALS are identical (uniform on the clamped
     # +-radius box), so per-pixel image expectations — and hence any
-    # per-pixel loss such as L2 — are unchanged for a single pass; with
-    # multiple passes only cross-pixel noise correlation differs. Gradient
-    # paths (diff/grad.py, parallel/shard.py) set this True; forward
-    # rendering keeps per-pixel offsets.
+    # per-pixel loss such as L2 — are unchanged for a single pass. With
+    # multiple passes the shared offsets additionally correlate each pixel's
+    # own reuse lineage (pass 2 revisits pixels whose pass-1 neighbours were
+    # shifted identically), not just cross-pixel noise — per-pixel
+    # expectations still match, higher moments differ. Gradient paths
+    # (diff/grad.py, parallel/shard.py) default this True unless
+    # ``exact_gradients`` is set; forward rendering keeps per-pixel offsets.
     coherent_spatial_offsets: bool = False
+
+    # Escape hatch for the gradient APIs (diff/grad.py render_with_params,
+    # parallel/shard.py make_sharded_train_step): when True they leave
+    # coherent_spatial_offsets and surrogate_resampling_grad exactly as the
+    # caller set them instead of applying the fast-path defaults — the exact
+    # per-pixel-offset estimator is then reachable through the public API
+    # (previously only via scripts/grad_bench.py env overrides).
+    exact_gradients: bool = False
 
     # Temporal reprojection with motion vectors. The reference explicitly
     # lacks motion vectors (report §2; render_utils.cpp:151-172 indexes the

@@ -105,10 +105,12 @@ def render_with_params(
     geometry, lights = apply_params(geometry, lights, params)
     # The fused resampling kernels have no VJP; their gradient is the XLA
     # formulation (Features.fused_resampling docstring). Spatial offsets go
-    # coherent so the neighbour-gather VJP is a pad instead of a 1.5 s/pass
-    # scatter (Features.coherent_spatial_offsets docstring).
-    features = features.replace(fused_resampling=False,
-                                coherent_spatial_offsets=True)
+    # coherent BY DEFAULT so the neighbour-gather VJP is a pad instead of a
+    # 1.5 s/pass scatter (Features.coherent_spatial_offsets docstring);
+    # Features.exact_gradients keeps the caller's estimator choices.
+    features = features.replace(fused_resampling=False)
+    if not features.exact_gradients:
+        features = features.replace(coherent_spatial_offsets=True)
     return render_restir_frame(key, cam, geometry, lights, num_lights,
                                height, width, features, prev)
 

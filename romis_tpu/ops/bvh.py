@@ -328,9 +328,18 @@ def build_bvh(geometry, max_leaf: int = MAX_LEAF):
     paged = _build_paged(bmin, bmax, left, right, lfirst, lcount,
                          v0[order], e1[order], e2[order])
 
-    # Verify the DFS-preorder contract the traversal relies on.
+    # Verify the contracts the threaded traversal and the paged cut rely on
+    # (both builders): DFS preorder — every inner node's left child directly
+    # follows it — and leaf ranges partitioning [0, n_active) in node order.
     inner = left >= 0
-    assert np.all(left[inner] == np.nonzero(inner)[0] + 1) or True
+    assert np.array_equal(left[inner], np.nonzero(inner)[0] + 1), (
+        "BVH builder violated DFS preorder (left child != parent + 1)")
+    starts = lfirst[~inner]
+    ends = starts + lcount[~inner]
+    assert (len(starts) > 0 and starts[0] == 0
+            and np.array_equal(starts[1:], ends[:-1])
+            and int(ends[-1]) == len(v0)), (
+        "BVH leaf ranges do not partition [0, n) in preorder")
 
     perm = np.concatenate([act_idx[order], pad_idx]).astype(np.int32)
     geometry = geometry.replace(

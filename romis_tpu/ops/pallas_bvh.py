@@ -278,7 +278,9 @@ def paged_any(origins, dirs, t_max, paged: PagedBVH,
     d_full = jnp.broadcast_to(dirs, origins.shape)
     o = origins.reshape((-1, 3, h, w))
     d = d_full.reshape((-1, 3, h, w))
-    tm = t_max.reshape((-1, h, w))
+    # t_max may be broadcastable rather than exactly matching (the XLA
+    # intersect_any accepts e.g. [H, W] under leading sample axes).
+    tm = jnp.broadcast_to(t_max, lead + (h, w)).reshape((-1, h, w))
     s = o.shape[0]
 
     o, hh, ww = _pad_hw(o, 8, 128)

@@ -219,10 +219,15 @@ def _gen_canonical_surrogate(
     composite estimator unbiased for the exact autodiff gradient
     (tests/test_grad_surrogate.py validates this statistically).
 
-    Candidate draws reuse the exact path's u4 stream (the second race's
-    uniform comes from a folded key), so sampled candidates, the primary
-    winner, and every reservoir VALUE match the exact path (to ~1 ulp of
-    fusion reassociation) — only the gradient is estimated."""
+    On the XLA branch, candidate draws reuse the exact path's u4 stream
+    (the second race's uniform comes from a folded key), so sampled
+    candidates, the primary winner, and every reservoir VALUE match the
+    exact path (to ~1 ulp of fusion reassociation) — only the gradient is
+    estimated. The TPU branch below instead runs the fused replay kernel,
+    whose pltpu PRNG stream differs from BOTH the XLA exact path and the
+    standard fused forward (it draws 5 uniforms/lane, not 4): values are
+    samples of the same estimator but not bit-comparable to either —
+    statistics match, bits don't (the usual cross-backend RNG caveat)."""
     h, w_img = ctx.depth_t.shape[-2:]
     s = features.initial_light_samples
     k = features.num_samples_in_reservoir

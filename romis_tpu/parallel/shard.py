@@ -82,8 +82,9 @@ def make_sharded_train_step(
     automatically (the analog of the gradient all-reduce row in SURVEY §2.4).
     """
 
-    grad_features = features.replace(fused_resampling=False,
-                                     coherent_spatial_offsets=True)
+    grad_features = features.replace(fused_resampling=False)
+    if not grad_features.exact_gradients:
+        grad_features = grad_features.replace(coherent_spatial_offsets=True)
 
     def loss_fn(params: SceneParams, target, key, cam, prev):
         g, l = apply_params(geometry, lights, params)
