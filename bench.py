@@ -74,6 +74,10 @@ def main():
                      distance=2.5, fov_deg=50)),
         }[config]
         scene = load_prebuilt(name)
+        # Route configs 1-4 through the fused Pallas kernels too (the gates
+        # fall back safely off-TPU / for >2048-tri scenes) — without this
+        # the recorded numbers time the XLA fallback paths.
+        scene.geometry = scene.geometry.replace(use_pallas=True)
         cam = make_camera(resolution=(h, w), **cam_kw)
     if cpu_smoke:
         h, w = 90, 160

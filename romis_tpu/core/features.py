@@ -148,6 +148,14 @@ class Features:
     # first-class feature.
     temporal_reprojection: bool = False
 
+    # Bounded-motion radius for temporal reprojection: reprojected fetches
+    # are served by the exact-offset halo kernel within ±radius pixels
+    # (ops/pallas_spatial.halo_offset_gather — the unbounded XLA gather cost
+    # ~0.5 s/frame at 1080p); pixels whose motion exceeds the band fall back
+    # to reuse-REJECT (fresh history), the standard real-time-ReSTIR
+    # disocclusion treatment. Must be <= 64 (halo kernel lane-window limit).
+    reprojection_radius: int = 16
+
     # Tone mapping (reference common.h:134-136)
     enable_tone_mapping: bool = True
     gamma: float = 1.0

@@ -195,13 +195,19 @@ def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
     """Gather every packed plane at EXACT per-pixel offsets (dy, dx) given
     as inputs — out[n, c, i, j] = planes[c, i + dy[n,i,j], j + dx[n,i,j]]
     (pre-padded, so borders clamp). Serves the fixed per-pixel neighbour
-    lists of R-MIS / R-OMIS (render/neighbours.py), whose offsets are
-    similarity-chosen rather than drawn in-kernel.
+    lists of R-MIS / R-OMIS (render/neighbours.py) and bounded temporal
+    reprojection (render/restir.temporal_reuse).
 
     Unlike _gather_kernel's factorised two-step (which needs dx shared per
     column), both offsets here vary per pixel: for each row offset d the
-    tile is statically rolled by d, lane-gathered with the per-pixel dx,
-    and the result selected where dy == d."""
+    candidate rows are a STATIC [bh]-row slice of the halo window (cheaper
+    than the former full-height roll), lane-gathered with the per-pixel dx
+    and selected where dy == d. The whole (d, all-planes) step is SKIPPED
+    when no pixel of the tile drew dy == d (pl.when on a tile-level any):
+    random spatial offsets populate every d so the check is noise, but
+    smooth motion fields (temporal reprojection under camera motion) touch
+    1–3 row offsets per tile, collapsing the resolve from
+    planes×(2r+1) to ~planes×hits."""
     bh, bw = _BH, _BW
     he, we = _halo_window(radius)
 
@@ -223,23 +229,24 @@ def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
         lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
         use_lo = lane_idx < bw
         row_masks = [dy == d for d in range(-radius, radius + 1)]
+        row_present = [jnp.any(m) for m in row_masks]
 
-        def resolve(tile_c):
-            out = jnp.zeros((bh, bw), jnp.float32)
-            for d in range(-radius, radius + 1):
-                rows_d = pltpu.roll(tile_c, shift=(he - radius - d) % he,
-                                    axis=0)[:bh]
-                t_lo = rows_d[:, :bw]
-                t_hi = pltpu.roll(rows_d, shift=bw, axis=1)[:, :bw]
-                ld = jnp.where(
-                    use_lo,
-                    jnp.take_along_axis(t_lo, lane_lo, axis=1),
-                    jnp.take_along_axis(t_hi, lane_hi, axis=1))
-                out = jnp.where(row_masks[d + radius], ld, out)
-            return out
-
-        def body(c, _):
-            out_ref[n, c] = resolve(scratch[c])
+        def body(c, _, n=n, row_masks=row_masks, row_present=row_present,
+                 lane_lo=lane_lo, lane_hi=lane_hi, use_lo=use_lo):
+            tile_c = scratch[c]
+            out_ref[n, c] = jnp.zeros((bh, bw), jnp.float32)
+            for di, d in enumerate(range(-radius, radius + 1)):
+                @pl.when(row_present[di])
+                def _resolve_d(d=d, di=di):
+                    rows_d = tile_c[radius + d:radius + d + bh, :]
+                    t_lo = rows_d[:, :bw]
+                    t_hi = pltpu.roll(rows_d, shift=bw, axis=1)[:, :bw]
+                    ld = jnp.where(
+                        use_lo,
+                        jnp.take_along_axis(t_lo, lane_lo, axis=1),
+                        jnp.take_along_axis(t_hi, lane_hi, axis=1))
+                    out_ref[n, c] = jnp.where(row_masks[di], ld,
+                                              out_ref[n, c])
             return 0
 
         jax.lax.fori_loop(0, n_planes, body, 0)

@@ -61,61 +61,6 @@ def gather_image(a, ny, nx):
     return jnp.moveaxis(g, -3, 0)
 
 
-def pack_pixel_rows(res: Reservoirs, ctx: ShadeCtx) -> jnp.ndarray:
-    """Pack per-pixel reservoir + shading-context state into one [H, W, C]
-    row table for neighbour gathers. TPU gathers cost per *index* (a full
-    128-lane row is fetched either way), so one packed-row gather replaces
-    the ~19 per-field gathers of the naive pytree gather — measured ~20x
-    cheaper at 1080p (see scene/lights.py rows note)."""
-    parts = []
-
-    def add(a):
-        lead = a.shape[:-2]
-        n = 1
-        for s in lead:
-            n *= s
-        parts.append(jnp.moveaxis(a.reshape((n,) + a.shape[-2:]), 0, -1))
-
-    for f in (res.pos, res.color, res.w_sum, res.m, res.big_w, res.chosen_w):
-        add(f)
-    for f in (ctx.position, ctx.normal, ctx.view_origin, ctx.kd, ctx.ks):
-        add(f)
-    add(ctx.shininess[None])
-    add(ctx.depth_t[None])
-    add(ctx.geom_id.astype(jnp.float32)[None])
-    add(ctx.valid.astype(jnp.float32)[None])
-    return jnp.concatenate(parts, axis=-1)
-
-
-def unpack_pixel_rows(rows: jnp.ndarray, k: int):
-    """Inverse of pack_pixel_rows for gathered rows [R, H, W, C] →
-    (Reservoirs [R, K, ..., H, W], ShadeCtx [R, ..., H, W])."""
-    lead = rows.shape[:-3]
-    hw = rows.shape[-3:-1]
-    pos = [0]
-
-    def take(n, shape):
-        a = rows[..., pos[0]:pos[0] + n]
-        pos[0] += n
-        a = jnp.moveaxis(a, -1, len(lead))  # [R, n, H, W]
-        return a.reshape(lead + shape + hw)
-
-    res = Reservoirs(
-        pos=take(3 * k, (k, 3)), color=take(3 * k, (k, 3)),
-        w_sum=take(k, (k,)), m=take(k, (k,)), big_w=take(k, (k,)),
-        chosen_w=take(k, (k,)),
-    )
-    ctx = ShadeCtx(
-        valid=jnp.zeros(()),  # placeholder, set below (field order)
-        position=take(3, (3,)), normal=take(3, (3,)),
-        view_origin=take(3, (3,)), kd=take(3, (3,)), ks=take(3, (3,)),
-        shininess=take(1, ()), depth_t=take(1, ()),
-        geom_id=take(1, ()).astype(jnp.int32),
-    )
-    ctx = ctx.replace(valid=take(1, ()) > 0.5)
-    return res, ctx
-
-
 def trace_primary(rays: Rays, geometry, features: Features):
     """Primary hits for the full ray grid (reference genPrimaryRayHits,
     render_utils.cpp:13-34)."""
@@ -142,31 +87,63 @@ def temporal_reuse(
     motion-reprojected pixel (project the current hit point through the
     previous camera) and validated with depth/normal gates — a capability the
     reference lacks (it reuses the same screen coordinate,
-    render_utils.cpp:151-172; report §2)."""
+    render_utils.cpp:151-172; report §2).
+
+    Bounded-motion fast path: the fetch rides the exact-offset halo kernel
+    within ±features.reprojection_radius pixels; out-of-band motion
+    reuse-REJECTS (disocclusion treatment). The previous unbounded
+    packed-row gather cost ~0.5 s/frame at 1080p (per-pixel XLA gather,
+    ~53 ns/index); the halo kernel additionally skips row offsets absent
+    from a tile, so smooth camera-motion fields resolve in a few
+    milliseconds."""
     if features.temporal_reprojection:
-        rows, cols, in_front = project_to_pixel(
+        rows_f, cols_f, in_front = project_to_pixel(
             prev.cam, ctx.position, height, width
         )  # each [H, W]
-        ri = jnp.clip(jnp.round(rows).astype(jnp.int32), 0, height - 1)
-        ci = jnp.clip(jnp.round(cols).astype(jnp.int32), 0, width - 1)
+        ri = jnp.clip(jnp.round(rows_f).astype(jnp.int32), 0, height - 1)
+        ci = jnp.clip(jnp.round(cols_f).astype(jnp.int32), 0, width - 1)
         in_bounds = (
-            (rows >= -0.5) & (rows <= height - 0.5)
-            & (cols >= -0.5) & (cols <= width - 0.5) & in_front
+            (rows_f >= -0.5) & (rows_f <= height - 0.5)
+            & (cols_f >= -0.5) & (cols_f <= width - 0.5) & in_front
         )
-        # One packed-row gather instead of ~38 per-plane gathers (TPU
-        # gathers cost per index — see pack_pixel_rows).
-        packed = pack_pixel_rows(prev.reservoirs, prev.ctx)  # [H, W, C]
-        pred, pred_ctx = unpack_pixel_rows(
-            packed[ri, ci], prev.reservoirs.m.shape[0])
+        rows = jnp.arange(height, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+        dy = ri - rows
+        dx = ci - cols
+        rr = features.reprojection_radius
+        in_band = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
+        # Clipping only shrinks |offset| toward 0 and ri/ci are screen-
+        # clamped, so i + dy stays in [0, H-1] (the gather contract);
+        # out-of-band pixels read a clamped cell whose value pred_mask
+        # discards.
+        dy = jnp.clip(dy, -rr, rr)
+        dx = jnp.clip(dx, -rr, rr)
+
+        from ..ops.pallas_spatial import halo_offset_gather
+
+        k = prev.reservoirs.m.shape[0]
+        # Slim pack: reservoir planes + the 5 gate planes (normal, depth,
+        # valid) — position/view/kd/ks of the previous ctx are never read.
+        planes = jnp.concatenate([
+            pack_reservoir_planes(prev.reservoirs),
+            prev.ctx.normal, prev.ctx.depth_t[None],
+            prev.ctx.valid.astype(jnp.float32)[None],
+        ], axis=0)
+        g = halo_offset_gather(planes, dy[None], dx[None], rr)[0]
+        pred = unpack_reservoir_planes(g[:10 * k], k)
+        p_normal = g[10 * k:10 * k + 3]
+        p_depth = g[10 * k + 3]
+        p_valid = g[10 * k + 4] > 0.5
         # Validity gates: depth within 10%, normals within 25° (reuse of the
         # reference's similarity thresholds, fixed — see
         # neighbour_selection.cpp:16-18 bug note).
         depth_ok = (
-            jnp.abs(1.0 - pred_ctx.depth_t / jnp.maximum(ctx.depth_t, 1e-20))
+            jnp.abs(1.0 - p_depth / jnp.maximum(ctx.depth_t, 1e-20))
             <= SPATIAL_DEPTH_FRAC
         )
-        normal_ok = vdot(pred_ctx.normal, ctx.normal) >= SPATIAL_NORMAL_COS
-        pred_mask = in_bounds & ctx.valid & pred_ctx.valid & depth_ok & normal_ok
+        normal_ok = vdot(p_normal, ctx.normal) >= SPATIAL_NORMAL_COS
+        pred_mask = (in_bounds & in_band & ctx.valid & p_valid & depth_ok
+                     & normal_ok)
     else:
         pred = prev.reservoirs
         pred_mask = jnp.ones((height, width), bool)

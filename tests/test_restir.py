@@ -189,3 +189,36 @@ def test_temporal_reuse_converges(cornell, cam):
     late_diff = np.abs(imgs[-1] - imgs[-2]).mean()
     early_diff = np.abs(imgs[1] - imgs[0]).mean()
     assert late_diff < early_diff
+
+
+def test_reprojection_bounded_reuse_and_reject(cornell):
+    """Bounded temporal reprojection (Features.reprojection_radius): motion
+    within the band carries history forward (total M grows past the
+    canonical count); motion beyond it reuse-rejects (M stays canonical)."""
+    h, w = HW
+    cam1 = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                       distance=2.5, fov_deg=50, resolution=HW)
+    fn = jax.jit(render_restir_frame, static_argnums=(4, 5, 6, 7))
+
+    def second_frame_m(radius):
+        """Median total M over VALID pixels after a frame-2 camera pan that
+        moves every valid pixel by 3-4 px (look_at shift 0.3 at distance
+        2.5, measured)."""
+        feats = Features(temporal_reuse=True, temporal_reprojection=True,
+                         spatial_reuse=False, reprojection_radius=radius)
+        cam2 = make_camera(look_at=(0.3, 0, 0), rotation_deg=(0, 0, 0),
+                           distance=2.5, fov_deg=50, resolution=HW)
+        state = initial_temporal_state(
+            h, w, feats.num_samples_in_reservoir, cam1)
+        _, state = fn(jax.random.PRNGKey(0), cam1, cornell.geometry,
+                      cornell.lights, cornell.num_lights, h, w, feats, state)
+        _, state = fn(jax.random.PRNGKey(1), cam2, cornell.geometry,
+                      cornell.lights, cornell.num_lights, h, w, feats, state)
+        valid = np.asarray(state.ctx.valid)
+        return np.median(np.asarray(state.reservoirs.total_m())[valid])
+
+    canonical = Features().initial_light_samples
+    # 3-4 px of motion inside an 8 px band: history must carry.
+    assert second_frame_m(radius=8) > canonical * 1.5
+    # The same motion outside a 2 px band: reuse-reject, M stays canonical.
+    assert second_frame_m(radius=2) == canonical
