@@ -94,9 +94,12 @@ def _pow_int(x, n: int):
     return r
 
 
-def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
-    """Target PDF ||phong||2 on component planes. cx = dict of ctx planes,
-    with the unit view precomputed by hoist_unit_view."""
+def _phong_rgb(cx, lx, ly, lz, cr, cg, cb):
+    """Unshadowed Phong on component planes → (r, g, b, ok): the UNGATED
+    color planes plus the behind/valid gate (callers apply the gate as
+    their estimator needs — p_hat gates the norm, shading gates the color).
+    cx = dict of ctx planes, with the unit view precomputed by
+    hoist_unit_view."""
     px, py, pz = cx["px"], cx["py"], cx["pz"]
     nx, ny, nz = cx["nx"], cx["ny"], cx["nz"]
     tlx, tly, tlz = lx - px, ly - py, lz - pz
@@ -126,6 +129,12 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
     out_g = (cg * cx["kdy"] * dot_nl + cg * cx["ksy"] * spec_pow) * inv_f2
     out_b = (cb * cx["kdz"] * dot_nl + cb * cx["ksz"] * spec_pow) * inv_f2
     ok = (dot_nl >= 0.0) & (cx["valid"] > 0.5)
+    return out_r, out_g, out_b, ok
+
+
+def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
+    """Target PDF ||phong||2 on component planes (see _phong_rgb)."""
+    out_r, out_g, out_b, ok = _phong_rgb(cx, lx, ly, lz, cr, cg, cb)
     sq = out_r * out_r + out_g * out_g + out_b * out_b
     p_hat = jnp.where(sq > 1e-30, jnp.sqrt(jnp.where(sq > 1e-30, sq, 1.0)),
                       0.0)

@@ -191,6 +191,7 @@ def spatial_neighbour_gather_pallas(
 
 
 def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
+                          skip_absent: bool,
                           offs_ref, planes_hbm, out_ref, scratch, sem):
     """Gather every packed plane at EXACT per-pixel offsets (dy, dx) given
     as inputs — out[n, c, i, j] = planes[c, i + dy[n,i,j], j + dx[n,i,j]]
@@ -202,12 +203,16 @@ def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
     column), both offsets here vary per pixel: for each row offset d the
     candidate rows are a STATIC [bh]-row slice of the halo window (cheaper
     than the former full-height roll), lane-gathered with the per-pixel dx
-    and selected where dy == d. The whole (d, all-planes) step is SKIPPED
-    when no pixel of the tile drew dy == d (pl.when on a tile-level any):
-    random spatial offsets populate every d so the check is noise, but
-    smooth motion fields (temporal reprojection under camera motion) touch
-    1–3 row offsets per tile, collapsing the resolve from
-    planes×(2r+1) to ~planes×hits."""
+    and selected where dy == d.
+
+    skip_absent=True SKIPS a (d, all-planes) step when no pixel of the
+    tile drew dy == d (pl.when on a tile-level any): smooth motion fields
+    (temporal reprojection under camera motion) touch 1–3 row offsets per
+    tile, collapsing the resolve from planes×(2r+1) to ~planes×hits.
+    Random/similarity offsets populate every d, where the per-(plane, d)
+    branches SERIALIZE on the scalar unit (~1.4x measured) — such callers
+    pass False and get the dense chain, with the two window slices per
+    (plane, d) shared across all n_nbr offset fields."""
     bh, bw = _BH, _BW
     he, we = _halo_window(radius)
 
@@ -220,15 +225,39 @@ def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
     dma.start()
     dma.wait()
 
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    dys = [offs_ref[n] for n in range(n_nbr)]
+    lanes = []
     for n in range(n_nbr):
-        dy = offs_ref[n]
-        dx = offs_ref[n_nbr + n]
-        lane_idx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-                    + radius + dx)
-        lane_lo = jnp.minimum(lane_idx, bw - 1)
-        lane_hi = jnp.clip(lane_idx - (we - bw), 0, bw - 1)
-        use_lo = lane_idx < bw
-        row_masks = [dy == d for d in range(-radius, radius + 1)]
+        lane_idx = iota_bw + radius + offs_ref[n_nbr + n]
+        lanes.append((jnp.minimum(lane_idx, bw - 1),
+                      jnp.clip(lane_idx - (we - bw), 0, bw - 1),
+                      lane_idx < bw))
+
+    if not skip_absent:
+        def dense_body(c, _):
+            tile_c = scratch[c]
+            accs = [jnp.zeros((bh, bw), jnp.float32) for _ in range(n_nbr)]
+            for d in range(-radius, radius + 1):
+                t_lo = tile_c[radius + d:radius + d + bh, :bw]
+                t_hi = tile_c[radius + d:radius + d + bh, we - bw:we]
+                for n in range(n_nbr):
+                    lane_lo, lane_hi, use_lo = lanes[n]
+                    ld = jnp.where(
+                        use_lo,
+                        jnp.take_along_axis(t_lo, lane_lo, axis=1),
+                        jnp.take_along_axis(t_hi, lane_hi, axis=1))
+                    accs[n] = jnp.where(dys[n] == d, ld, accs[n])
+            for n in range(n_nbr):
+                out_ref[n, c] = accs[n]
+            return 0
+
+        jax.lax.fori_loop(0, n_planes, dense_body, 0)
+        return
+
+    for n in range(n_nbr):
+        lane_lo, lane_hi, use_lo = lanes[n]
+        row_masks = [dys[n] == d for d in range(-radius, radius + 1)]
         row_present = [jnp.any(m) for m in row_masks]
 
         def body(c, _, n=n, row_masks=row_masks, row_present=row_present,
@@ -238,9 +267,8 @@ def _offset_gather_kernel(n_nbr: int, radius: int, n_planes: int,
             for di, d in enumerate(range(-radius, radius + 1)):
                 @pl.when(row_present[di])
                 def _resolve_d(d=d, di=di):
-                    rows_d = tile_c[radius + d:radius + d + bh, :]
-                    t_lo = rows_d[:, :bw]
-                    t_hi = pltpu.roll(rows_d, shift=bw, axis=1)[:, :bw]
+                    t_lo = tile_c[radius + d:radius + d + bh, :bw]
+                    t_hi = tile_c[radius + d:radius + d + bh, we - bw:we]
                     ld = jnp.where(
                         use_lo,
                         jnp.take_along_axis(t_lo, lane_lo, axis=1),
@@ -257,11 +285,14 @@ def halo_offset_gather_pallas(
     dy: jnp.ndarray,  # [D, H, W] int32 row offsets in [-radius, radius]
     dx: jnp.ndarray,  # [D, H, W] int32 col offsets in [-radius, radius]
     radius: int,
+    skip_absent: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact-offset halo gather → [D, C, H, W]. Offsets must satisfy
     |dy|,|dx| <= radius and produce in-bounds indices (the caller's
-    neighbour selection already clamps to the screen)."""
+    neighbour selection already clamps to the screen). skip_absent: True
+    for smooth offset fields (temporal reprojection), False for
+    random/similarity-chosen fields (see _offset_gather_kernel)."""
     if radius > 64:
         raise ValueError("halo offset gather supports radius <= 64")
     c, h, w = planes.shape
@@ -281,7 +312,8 @@ def halo_offset_gather_pallas(
     grid = (hp // _BH, wp // _BW)
 
     out = pl.pallas_call(
-        functools.partial(_offset_gather_kernel, d_n, radius, c),
+        functools.partial(_offset_gather_kernel, d_n, radius, c,
+                          skip_absent),
         grid=grid,
         in_specs=[
             pl.BlockSpec((2 * d_n, _BH, _BW), lambda i, j: (0, i, j),
@@ -300,8 +332,8 @@ def halo_offset_gather_pallas(
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def halo_offset_gather(planes, dy, dx, radius: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def halo_offset_gather(planes, dy, dx, radius: int, skip_absent: bool = True):
     """DIFFERENTIABLE exact-offset halo gather:
     out[d, c, i, j] = planes[c, i + dy[d,i,j], j + dx[d,i,j]]
     (offsets in [-radius, radius], coords in-bounds — the callers' neighbour
@@ -309,13 +341,15 @@ def halo_offset_gather(planes, dy, dx, radius: int):
     fancy-indexing fallback elsewhere); backward = one segment_sum
     scatter-add (the gather is linear in ``planes``), so gradient paths get
     kernel-speed neighbour fetches instead of the HBM-latency-bound XLA
-    gather (~0.5 s per 1080p pass) they previously fell back to."""
-    return _halo_offset_impl(planes, dy, dx, radius)
+    gather (~0.5 s per 1080p pass) they previously fell back to.
+    ``skip_absent``: see _offset_gather_kernel (True for smooth offset
+    fields, False for random/similarity-chosen ones)."""
+    return _halo_offset_impl(planes, dy, dx, radius, skip_absent)
 
 
-def _halo_offset_impl(planes, dy, dx, radius: int):
+def _halo_offset_impl(planes, dy, dx, radius: int, skip_absent: bool = True):
     if jax.default_backend() == "tpu" and radius <= 64:
-        return halo_offset_gather_pallas(planes, dy, dx, radius)
+        return halo_offset_gather_pallas(planes, dy, dx, radius, skip_absent)
     h, w = planes.shape[-2:]
     rows = jnp.arange(h, dtype=jnp.int32)[:, None]
     cols = jnp.arange(w, dtype=jnp.int32)[None, :]
@@ -323,12 +357,12 @@ def _halo_offset_impl(planes, dy, dx, radius: int):
     return jnp.moveaxis(g, 0, 1)
 
 
-def _halo_offset_fwd(planes, dy, dx, radius: int):
-    return _halo_offset_impl(planes, dy, dx, radius), (dy, dx,
-                                                       planes.shape)
+def _halo_offset_fwd(planes, dy, dx, radius: int, skip_absent: bool):
+    return _halo_offset_impl(planes, dy, dx, radius, skip_absent), (
+        dy, dx, planes.shape)
 
 
-def _halo_offset_bwd(radius, res, ct):
+def _halo_offset_bwd(radius, skip_absent, res, ct):
     import numpy as np
 
     dy, dx, (c, h, w) = res

@@ -222,6 +222,71 @@ def occlusion_into(n_tris: int, trix_ref, aabb_ref, ox, oy, oz,
     jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
 
 
+def occlusion_shared_origin_into(n_tris: int, trix_ref, aabb_ref,
+                                 origin, rays, t_min: float, occf_ref):
+    """Occlusion of len(rays) ray tiles SHARING one origin plane, into
+    occf_ref [n_rays, bh, bw] (1.0 = occluded). rays = list of
+    (dx, dy, dz, t_max) with UNIT directions; the valid t window is
+    (t_min, t_max) — algebraically identical to pushing the origin t_min
+    along each direction (ops/wrs.visibility semantics: o' = o + ε·d shifts
+    every hit's t by exactly ε for unit d) WITHOUT the per-ray offset, so
+    the Möller–Trumbore terms depending only on (origin, triangle) — tvec,
+    qvec, e2·qvec — hoist across all rays: ~1/3 of the per-test math at
+    n_rays >= 4 (the R-MIS/R-OMIS sweep kernels trace D1·K = 12 shadow
+    rays per pixel per iteration from one surface point)."""
+    ox, oy, oz = origin
+    n_rays = len(rays)
+    inv = [_inv_dir(r[0], r[1], r[2]) for r in rays]
+
+    for s in range(n_rays):
+        occf_ref[s] = jnp.zeros(ox.shape, jnp.float32)
+
+    def body(b, _):
+        occ = [occf_ref[s] for s in range(n_rays)]
+        live = None
+        for s in range(n_rays):
+            tn, tf = _slab_test(aabb_ref, b, ox, oy, oz, *inv[s])
+            ll = ((tf >= tn) & (tf > t_min) & (tn < rays[s][3])
+                  & (occ[s] < 0.5))
+            live = ll if live is None else (live | ll)
+
+        @pl.when(jnp.any(live))
+        def _process():
+            acc = list(occ)
+            for i in range(TRI_UNROLL):
+                j = b * TRI_UNROLL + i
+                v0x, v0y, v0z = trix_ref[0, j], trix_ref[1, j], trix_ref[2, j]
+                e1x, e1y, e1z = trix_ref[3, j], trix_ref[4, j], trix_ref[5, j]
+                e2x, e2y, e2z = trix_ref[6, j], trix_ref[7, j], trix_ref[8, j]
+                active = trix_ref[9, j] > 0.0
+                # Shared across rays: tvec, qvec, e2·qvec (origin-only).
+                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                e2q = e2x * qx + e2y * qy + e2z * qz
+                for s in range(n_rays):
+                    dx, dy, dz, t_max = rays[s]
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    ua = (tx * px + ty * py + tz * pz) * det
+                    va = (dx * qx + dy * qy + dz * qz) * det
+                    ta = e2q * det
+                    aa = det * det
+                    hit = ((aa > 1e-18) & (ua >= 0.0) & (va >= 0.0)
+                           & (ua + va <= aa) & (ta > t_min * aa)
+                           & (ta < t_max * aa) & active)
+                    acc[s] = jnp.maximum(acc[s], hit.astype(jnp.float32))
+            for s in range(n_rays):
+                occf_ref[s] = acc[s]
+
+        return 0
+
+    jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
+
+
 def _any_kernel(n_tris: int, trix_ref, aabb_ref, o_ref, d_ref, tmax_ref,
                 occ_ref, occf_ref):
     occlusion_into(n_tris, trix_ref, aabb_ref, o_ref[0], o_ref[1], o_ref[2],

@@ -60,16 +60,92 @@ def _similar_planes(ctx: ShadeCtx, g5, features: Features):
     return ok
 
 
+def _select_neighbours_kernel(key, ctx, height, width, features,
+                              interpret=False):
+    """Similarity strategies through the fused box-scan kernel
+    (ops/pallas_nbrsel.py); the tiny deficit/fallback tail stays here."""
+    import numpy as np
+
+    from ..ops.pallas_nbrsel import neighbour_select_pallas
+
+    d = features.num_neighbours_to_sample
+    radius = features.spatial_resample_radius
+    side = 2 * radius + 1
+    strategy = features.neighbour_selection_strategy
+    rows = jnp.arange(height, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    self_r = jnp.broadcast_to(rows, (1, height, width))
+    self_c = jnp.broadcast_to(cols, (1, height, width))
+
+    gate = jnp.concatenate([
+        ctx.geom_id.astype(jnp.float32)[None], ctx.depth_t[None], ctx.normal,
+    ], axis=0)
+    seed = jax.random.key_data(key).astype(jnp.int32).sum()
+    two = strategy == NeighbourSelectionStrategy.EQUAL_SIMILAR_DISSIMILAR
+    prefer = strategy in (NeighbourSelectionStrategy.SIMILAR,
+                          NeighbourSelectionStrategy.EQUAL_SIMILAR_DISSIMILAR)
+    outs = neighbour_select_pallas(
+        seed, gate, d, radius, two, prefer,
+        features.neighbour_same_geometry,
+        features.neighbour_max_depth_difference_fraction,
+        float(np.cos(features.neighbour_max_normal_angle_difference_radians)),
+        interpret=interpret)
+
+    def to_coords(packs):
+        p = jnp.maximum(packs.astype(jnp.int32), 0)
+        return rows[None] + p // side - radius, cols[None] + p % side - radius
+
+    if not two:
+        s, p = outs
+        real = s > -1e29
+        ny, nx = to_coords(p)
+        ny = jnp.where(real, ny, rows[None])
+        nx = jnp.where(real, nx, cols[None])
+        return (jnp.concatenate([self_r, ny], axis=0),
+                jnp.concatenate([self_c, nx], axis=0))
+
+    # EqualSimilarDissimilar deficit logic (mirrors the XLA tail below,
+    # operating on the kernel's rank-sorted per-class slots + counts).
+    s_s, p_s, s_d, p_d, cnt = outs
+    c_s = cnt[0].astype(jnp.int32)
+    c_d = cnt[1].astype(jnp.int32)
+    ny_s, nx_s = to_coords(p_s)
+    ny_d, nx_d = to_coords(p_d)
+    i_s = ny_s * width + nx_s
+    i_d = ny_d * width + nx_d
+    n_sim = jnp.minimum(d // 2 + 1, c_s)
+    n_sim = jnp.maximum(n_sim, d - jnp.minimum(c_d, d))
+    n_sim = jnp.minimum(n_sim, d)
+    ranks = jnp.arange(d)[:, None, None]
+    take_sim = ranks < n_sim[None]
+    sim_pick = jnp.where(take_sim & (s_s > -1e29), i_s, -1)
+    dis_rank = ranks - n_sim[None]
+    take_dis = (dis_rank >= 0) & (dis_rank < (d - n_sim)[None])
+    dis_idx_at = jnp.take_along_axis(i_d, jnp.clip(dis_rank, 0, d - 1),
+                                     axis=0)
+    dis_fin = jnp.take_along_axis(s_d > -1e29,
+                                  jnp.clip(dis_rank, 0, d - 1), axis=0)
+    picks = jnp.where(take_sim, sim_pick,
+                      jnp.where(take_dis & dis_fin, dis_idx_at, -1))
+    self_pack = rows * width + cols
+    picks = jnp.where(picks < 0, self_pack[None], picks)
+    return (jnp.concatenate([self_r, picks // width], axis=0),
+            jnp.concatenate([self_c, picks % width], axis=0))
+
+
 def select_neighbour_indices(
     key,
     ctx: ShadeCtx,
     height: int,
     width: int,
     features: Features,
+    geometry=None,
 ):
     """Per-pixel neighbour coordinates (rows [D+1, H, W], cols [D+1, H, W]),
     self first. Reference: generateResampleIndicesGrid
-    (neighbour_selection.cpp:107-122)."""
+    (neighbour_selection.cpp:107-122). With ``geometry`` carrying
+    use_pallas on TPU, similarity strategies run the fused box-scan kernel
+    (ops/pallas_nbrsel.py, ~3x the XLA streamed top-D)."""
     d = features.num_neighbours_to_sample
     radius = features.spatial_resample_radius
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]
@@ -78,6 +154,12 @@ def select_neighbour_indices(
     self_c = jnp.broadcast_to(cols, (1, height, width))
 
     strategy = features.neighbour_selection_strategy
+    if (strategy != NeighbourSelectionStrategy.RANDOM
+            and getattr(geometry, "use_pallas", False)
+            and features.fused_spatial_gather
+            and jax.default_backend() == "tpu"
+            and radius <= 64):
+        return _select_neighbours_kernel(key, ctx, height, width, features)
     if strategy == NeighbourSelectionStrategy.RANDOM:
         # indicesRandom (24-43): D uniform picks in the *clamped* window.
         lo_y = jnp.maximum(rows - radius, 0)

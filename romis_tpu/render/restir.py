@@ -416,7 +416,7 @@ def spatial_reuse(
             nx = jnp.clip(cols[None] + offs[1], 0, width - 1)
             planes = pack_pixel_planes(reservoirs, ctx)
             g = halo_offset_gather(planes, ny - rows[None], nx - cols[None],
-                                   radius)
+                                   radius, skip_absent=False)
             nbr, nbr_ctx = unpack_pixel_planes(
                 g, features.num_samples_in_reservoir)
 

@@ -53,7 +53,8 @@ def _gather_neighbourhood_fused(tree, ny, nx, radius):
     cols = jnp.arange(w, dtype=jnp.int32)[None, :]
     dy = ny.astype(jnp.int32) - rows
     dx = nx.astype(jnp.int32) - cols
-    g = halo_offset_gather(packed, dy, dx, radius)  # [D, C, H, W]
+    g = halo_offset_gather(packed, dy, dx, radius,
+                           skip_absent=False)  # [D, C, H, W]
     out, pos = [], 0
     for leaf, flat in zip(leaves, flats):
         cnt = flat.shape[0]
@@ -81,6 +82,29 @@ def balance_heuristic_weights(
     return receiver_p_hat / denom
 
 
+def _mis_offsets(ny, nx):
+    """Neighbour coordinate fields [D1, H, W] (self first) → the fused MIS
+    kernels' [2D, H, W] int32 offset planes (dy block then dx block)."""
+    h, w = ny.shape[-2:]
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    return jnp.concatenate(
+        [ny[1:].astype(jnp.int32) - rows[None],
+         nx[1:].astype(jnp.int32) - cols[None]], axis=0)
+
+
+def _fused_mis_sweep(features: Features, geometry) -> bool:
+    """Dispatch gate for the fused per-iteration sweep kernels
+    (ops/pallas_mis.py): fused paths enabled, soup fits SMEM (in-kernel
+    occlusion), TPU backend. The kernels have no VJP — gradient paths set
+    fused_resampling=False and take the XLA formulation."""
+    from ..ops.pallas_trace import fits_pallas
+
+    return (features.fused_resampling and features.fused_spatial_gather
+            and getattr(geometry, "use_pallas", False)
+            and fits_pallas(geometry))
+
+
 def render_rmis(
     key,
     cam: CameraParams,
@@ -98,10 +122,47 @@ def render_rmis(
     _, ctx = trace_primary(rays, geometry, features)
     ny, nx = select_neighbour_indices(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
+        geometry,
     )  # [D1, H, W] each
+    radius = features.spatial_resample_radius
+    it_n = features.max_iterations_mis
+
+    if _fused_mis_sweep(features, geometry):
+        from ..ops.pallas_mis import (
+            mis_iteration_pallas, pack_mis_reservoirs, resolve_neighbour_ctx,
+        )
+        from ..ops.pallas_spatial import pack_center_ctx
+        from ..ops.wrs import _lane_layout
+
+        _, lane_counts, _ = _lane_layout(
+            features.initial_light_samples,
+            features.num_samples_in_reservoir)
+        cen_ctx = pack_center_ctx(ctx)
+        offs = _mis_offsets(ny, nx)
+        balance = features.mis_weight_rmis == MISWeight.BALANCE
+        mode = "rmis_balance" if balance else "rmis_equal"
+        nbr_ctx = (resolve_neighbour_ctx(cen_ctx, offs, radius)
+                   if balance else None)
+
+        def iteration(acc, it_key):
+            res = gen_canonical_samples(it_key, ctx, lights, num_lights,
+                                        geometry, features)
+            contrib = mis_iteration_pallas(
+                cen_ctx, pack_mis_reservoirs(res, romis=False), offs,
+                geometry, features.num_samples_in_reservoir, radius, mode,
+                num_lights, lane_counts, nbr_ctx=nbr_ctx)
+            return acc + contrib, None
+
+        it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER), it_n)
+        acc, _ = jax.lax.scan(iteration, jnp.zeros((3, height, width)),
+                              it_keys)
+        color = acc / it_n
+        if features.enable_tone_mapping:
+            color = exposure_tone_mapping(color, features)
+        return jnp.moveaxis(color, 0, -1)
+
     fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
-    radius = features.spatial_resample_radius
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
 
     equal_w = 1.0 / d1

@@ -143,6 +143,75 @@ def solve_alpha(a_mat, b_vec):
     return jnp.where(jnp.isfinite(alpha), alpha, 0.0)
 
 
+def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
+                        height, width, features, return_alphas):
+    """R-OMIS through the fused per-iteration sweep kernel
+    (ops/pallas_mis.py): the J×(D+1)×K colvec sweep, scale/ŵ math, and A/b
+    accumulation run per tile in VMEM; per-iteration XLA work shrinks to
+    the RIS kernel + two small accumulator adds (and, progressive only, the
+    plane-Cholesky α refresh)."""
+    from ..ops.pallas_mis import (
+        expand_a_upper, mis_iteration_pallas, pack_mis_reservoirs,
+        resolve_neighbour_ctx,
+    )
+    from ..ops.pallas_spatial import pack_center_ctx
+    from ..ops.wrs import _lane_layout
+    from .rmis import PH_ITER, _mis_offsets
+
+    d1 = features.num_neighbours_to_sample + 1
+    k_lanes = features.num_samples_in_reservoir
+    radius = features.spatial_resample_radius
+    _, lane_counts, _ = _lane_layout(features.initial_light_samples, k_lanes)
+    cen_ctx = pack_center_ctx(ctx)
+    offs = _mis_offsets(ny, nx)
+    nbr_ctx = resolve_neighbour_ctx(cen_ctx, offs, radius)
+    progressive = features.use_progressive_romis
+
+    n_up = d1 * (d1 + 1) // 2
+    a_up = jnp.zeros((n_up, height, width))
+    b_vec = jnp.zeros((3 * d1, height, width))
+    final_colors = jnp.zeros((3, height, width))
+    alphas = jnp.zeros((3, d1, height, width))
+    total_samples = float(d1 * k_lanes)
+
+    it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
+                               features.max_iterations_mis)
+    for iteration in range(features.max_iterations_mis):
+        res = gen_canonical_samples(it_keys[iteration], ctx, lights,
+                                    num_lights, geometry, features)
+        if (progressive and iteration >= 1
+                and iteration % features.progressive_update_mod == 0):
+            alphas = solve_alpha(expand_a_upper(a_up, d1),
+                                 b_vec.reshape(3, d1, height, width))
+        if progressive:
+            final_colors = final_colors + jnp.sum(alphas, axis=1)
+        outs = mis_iteration_pallas(
+            cen_ctx, pack_mis_reservoirs(res, romis=True), offs, geometry,
+            k_lanes, radius, "romis", num_lights, lane_counts,
+            nbr_ctx=nbr_ctx,
+            alphas=alphas.reshape(3 * d1, height, width) if progressive
+            else None)
+        a_up = a_up + outs[0]
+        b_vec = b_vec + outs[1]
+        if progressive:
+            final_colors = final_colors + outs[2] / total_samples
+
+    if progressive:
+        color = final_colors / features.max_iterations_mis
+        alpha_out = alphas
+    else:
+        alpha_out = solve_alpha(expand_a_upper(a_up, d1),
+                                b_vec.reshape(3, d1, height, width))
+        color = jnp.sum(alpha_out, axis=1)
+
+    if features.enable_tone_mapping:
+        color = exposure_tone_mapping(color, features)
+    image = jnp.moveaxis(color, 0, -1)
+    if return_alphas:
+        return image, jnp.moveaxis(alpha_out, 0, -1)
+    return image
+
+
 def render_romis(
     key,
     cam: CameraParams,
@@ -164,10 +233,19 @@ def render_romis(
     _, ctx = trace_primary(rays, geometry, features)
     ny, nx = select_neighbour_indices(
         jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
+        geometry,
     )
+    radius = features.spatial_resample_radius
+
+    from .rmis import _fused_mis_sweep
+
+    if _fused_mis_sweep(features, geometry):
+        return _render_romis_fused(key, ctx, ny, nx, geometry, lights,
+                                   num_lights, height, width, features,
+                                   return_alphas)
+
     fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
-    radius = features.spatial_resample_radius
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,
                                      fused)  # fields [D1, ..., H, W]
 
