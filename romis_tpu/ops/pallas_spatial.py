@@ -536,8 +536,13 @@ def _pass_kernel(n_nbr: int, radius: int, k: int, depth_frac: float,
     # render_utils.cpp:109-110): the halo planes are ZERO padded (cheaper
     # than an edge pad), so the clamp lives on the indices instead — pad
     # cells are never selected.
-    row_lo = radius - ti * bh
-    row_hi = radius + h_real - 1 - ti * bh
+    # h_real is the GLOBAL image height; seed_ref[1] carries this band's
+    # first global row (0 single-device; dev*h_loc under the shard_map halo
+    # path) so border clamping happens at the GLOBAL image edges — interior
+    # bands read their ppermute'd halo rows instead of clamping.
+    base = seed_ref[1]
+    row_lo = radius - ti * bh - base
+    row_hi = radius + h_real - 1 - ti * bh - base
     lane_lo_b = radius - tj * bw
     lane_hi_b = radius + w_real - 1 - tj * bw
 
@@ -978,6 +983,23 @@ def pack_gates(ctx) -> jnp.ndarray:
     ], axis=0)
 
 
+def _pad_halo_pre(ext: jnp.ndarray, radius: int, bh: int) -> jnp.ndarray:
+    """Alignment-pad planes whose vertical ±radius halo rows are ALREADY
+    present (ppermute-exchanged shard bands [C, h_loc + 2r, W]) so they
+    match pad_halo's window geometry."""
+    bw = _BW
+    c, h2r, w = ext.shape
+    h = h2r - 2 * radius
+    align_h = (-h) % bh
+    align_w = (-w) % bw
+    he, we = _halo_window(radius, bh, bw)
+    return jnp.pad(
+        ext,
+        ((0, 0),
+         (0, align_h + (he - bh - 2 * radius)),
+         (radius, align_w + (we - bw - radius))))
+
+
 def spatial_pass_pallas(
     seed,
     res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
@@ -987,12 +1009,19 @@ def spatial_pass_pallas(
     n_nbr: int,
     radius: int,
     uniform_shin: float = None,
+    halo_src=None,  # (gates_ext, res_ext) [C, H+2r, W] pre-exchanged halos
+    row_base=None,  # [] int32 — this band's first global row
+    h_global: int = None,  # global image height (border clamping)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused spatial-reuse pass → updated reservoir planes [10K, H, W]
     (pack_pixel_planes reservoir order — feed the result straight back in
     for the next pass). Halo pads are built here; the identical gates pad
-    is CSE'd by XLA across passes."""
+    is CSE'd by XLA across passes.
+
+    Sharded bands (parallel/halo.spatial_reuse_halo) pass their
+    ppermute-exchanged halos via ``halo_src`` plus ``row_base``/``h_global``
+    so the in-kernel border clamp happens at the GLOBAL image edges."""
     if radius > 64:
         raise ValueError("fused spatial pass supports radius <= 64")
     _, h, w = cen_ctx.shape
@@ -1001,8 +1030,17 @@ def spatial_pass_pallas(
     align_w = (-w) % _BW
     he, we = _halo_window(radius, bh)
 
-    res_pad = pad_halo(res_planes, radius, bh, mode="constant")
-    gates_pad = pad_halo(gates, radius, bh, mode="constant")
+    if halo_src is None:
+        res_pad = pad_halo(res_planes, radius, bh, mode="constant")
+        gates_pad = pad_halo(gates, radius, bh, mode="constant")
+    else:
+        gates_ext, res_ext = halo_src
+        res_pad = _pad_halo_pre(res_ext, radius, bh)
+        gates_pad = _pad_halo_pre(gates_ext, radius, bh)
+    if row_base is None:
+        row_base = 0
+    if h_global is None:
+        h_global = h
     if align_h or align_w:
         res_planes = jnp.pad(res_planes,
                              ((0, 0), (0, align_h), (0, align_w)))
@@ -1017,7 +1055,7 @@ def spatial_pass_pallas(
                           SPATIAL_DEPTH_FRAC, SPATIAL_NORMAL_COS,
                           grid[1], grid[0] * grid[1], bh,
                           int(uniform_shin) if uniform_shin else None,
-                          h, w),
+                          h_global, w),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
@@ -1038,6 +1076,7 @@ def spatial_pass_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), res_planes, cen_ctx, gates_pad,
-      res_pad)
+    )(jnp.stack([jnp.asarray(seed, jnp.int32),
+                 jnp.asarray(row_base, jnp.int32)]),
+      res_planes, cen_ctx, gates_pad, res_pad)
     return out[:, :h, :w]

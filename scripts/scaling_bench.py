@@ -91,13 +91,15 @@ def main():
     sizes = [n for n in (1, 2, 4, 8) if n <= n_dev_all and h % n == 0]
 
     # Analytic halo traffic for the ppermute path: per pass, each device
-    # sends radius rows x W lanes x (reservoir + ctx planes) in BOTH
-    # directions (parallel/halo._halo_extend exchanges res_ext AND ctx_ext).
+    # sends radius rows x W lanes x (reservoir + gate planes) in BOTH
+    # directions (the fused in-band combine exchanges the 10K reservoir
+    # planes + the 5 gate planes; the XLA fallback exchanges the full
+    # 19-plane ShadeCtx instead of the gates).
     res_planes = 10 * k
-    ctx_planes = 19  # ShadeCtx: 5x3 vec + shin + depth + geom_id + valid
+    gate_planes = 5  # normal3 | depth | valid
     halo_bytes_per_pass_per_dev = (
         2 * features.spatial_resample_radius * w
-        * (res_planes + ctx_planes) * 4 * 2)  # up+down
+        * (res_planes + gate_planes) * 4 * 2)  # up+down
 
     table = {"backend": jax.default_backend(), "resolution": [h, w],
              "frames": args.frames, "paths": {}}

@@ -573,3 +573,50 @@ def test_halo_offset_gather_vjp():
         for cc in range(c):
             np.add.at(expect[cc], (ny[di], nx[di]), wts[di, cc])
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_pass_halo_src_matches_full_image():
+    """The fused pass kernel fed pre-exchanged band halos + a global row
+    base (parallel/halo.spatial_reuse_halo) must reproduce the full-image
+    kernel exactly: interior band rows read their halo instead of clamping,
+    edge bands clamp at the GLOBAL image border. The TPU-interpret PRNG
+    stub draws zeros, so every neighbour offset is (-r, -r) and the race
+    clocks tie deterministically — both sides see identical noise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_spatial import (
+        pack_center_ctx, pack_gates, spatial_pass_pallas,
+    )
+    from romis_tpu.render.restir import pack_reservoir_planes
+    from helpers import random_reservoirs_and_ctx
+
+    h, w, k, n_nbr, radius = 32, 128, 2, 3, 4
+    rng = np.random.default_rng(5)
+    res, ctx = random_reservoirs_and_ctx(rng, h, w, k)
+    res_planes = pack_reservoir_planes(res)
+    gates = pack_gates(ctx)
+    cen = pack_center_ctx(ctx)
+    interp = pltpu.InterpretParams()
+
+    full = np.asarray(spatial_pass_pallas(
+        0, res_planes, gates, cen, k, n_nbr, radius, interpret=interp))
+
+    h_loc = h // 2
+
+    def ext(planes, base):
+        """Global rows [base - r, base + h_loc + r), zeros out of range —
+        exactly what ppermute halo exchange hands an edge band."""
+        z = np.zeros((planes.shape[0], h + 2 * radius, w), np.float32)
+        z[:, radius:radius + h] = np.asarray(planes)
+        return jnp.asarray(z[:, base:base + h_loc + 2 * radius])
+
+    for b in range(2):
+        base = b * h_loc
+        out_b = np.asarray(spatial_pass_pallas(
+            0, res_planes[:, base:base + h_loc], gates[:, base:base + h_loc],
+            cen[:, base:base + h_loc], k, n_nbr, radius,
+            halo_src=(ext(gates, base), ext(res_planes, base)),
+            row_base=base, h_global=h, interpret=interp))
+        np.testing.assert_array_equal(out_b, full[:, base:base + h_loc],
+                                      err_msg=f"band {b}")
