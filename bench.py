@@ -51,6 +51,22 @@ def main():
         features = Features(  # reference defaults: full spatiotemporal
             fused_spatial_gather=os.environ.get("BENCH_FUSED", "1") == "1")
         cam = ge._flagship_camera(h, w)
+    elif config == 6:
+        # Large-scene workload: monkey_field 5x5 (24,202 tris) full
+        # spatiotemporal ReSTIR at 1080p through the paged Pallas BVH
+        # (primary = paged_closest, final shade = paged K-lane fused
+        # kernel). Embree gives the reference any-size scenes for free
+        # (embree_interface.cpp:58-90); this records our equivalent.
+        from romis_tpu.core.camera import make_camera
+        from romis_tpu.ops.bvh import with_bvh
+        from romis_tpu.scene.scene import load_monkey_field
+
+        scene = load_monkey_field(5)
+        scene.geometry = with_bvh(scene.geometry).replace(use_pallas=True)
+        h, w = 1080, 1920
+        features = Features()
+        cam = make_camera(look_at=(0, 0, 0), rotation_deg=(25, 30, 0),
+                          distance=11.0, fov_deg=50, resolution=(h, w))
     else:
         from romis_tpu.core.camera import make_camera
 

@@ -147,8 +147,9 @@ def occlusion_paged_into(n_blocks: int, nodes_f_ref, nodes_i_ref, pages_hbm,
                          ox, oy, oz, dx, dy, dz, t_max, occf_ref, pg, sem):
     """Paged any-hit walk accumulating into the f32 scratch occf_ref (1.0 =
     occluded; Mosaic cannot carry bools). The walk dies early once every
-    ray in the tile is occluded. Shared by the any-hit kernel and the
-    large-scene fused final-shade kernel."""
+    ray in the tile is occluded. Backs the any-hit kernel; the large-scene
+    fused final-shade kernel rides the K-lane shared-walk variant below
+    (occlusion_paged_k_into)."""
     ix, iy, iz = _inv_dir(dx, dy, dz)
     occf_ref[...] = jnp.zeros(ox.shape, jnp.float32)
 
@@ -186,6 +187,84 @@ def occlusion_paged_into(n_blocks: int, nodes_f_ref, nodes_i_ref, pages_hbm,
         live_v = ((tn <= tf) & (tf > 0.0) & (tn < t_max)
                   & (occf_ref[...] < 0.5))
         live = jnp.any(live_v)
+        miss = nodes_i_ref[0, cursor]
+        page = nodes_i_ref[1, cursor]
+
+        @pl.when(live & (page >= 0))
+        def _():
+            pltpu.make_async_copy(pages_hbm.at[page], pg, sem).start()
+            process_page(page)
+
+        return jnp.where(live & (page < 0), cursor + 1, miss)
+
+    jax.lax.while_loop(lambda c: c >= 0, body, jnp.int32(0))
+
+
+def occlusion_paged_k_into(n_blocks: int, nodes_f_ref, nodes_i_ref,
+                           pages_hbm, rays, occf_ref, pg, sem):
+    """K-lane paged any-hit: ONE top-tree walk and ONE page DMA stream
+    shared by all K shadow-ray tiles (rays = list of
+    (ox, oy, oz, dx, dy, dz, t_max) per lane), accumulating into
+    occf_ref [K, bh, bw] (1.0 = occluded). A node/page/block is entered if
+    ANY lane's still-unoccluded rays overlap it — per-lane walks would
+    re-DMA every page K times; sharing amortizes the HBM traffic and the
+    ~30 scalar SMEM fetches per triangle over the lanes (the same trade
+    measured for the soup kernel, pallas_shade._occlusion_k_into). Backs
+    the large-scene fused final-shade kernel
+    (pallas_shade.final_shade_paged_pallas)."""
+    k = len(rays)
+    inv = [_inv_dir(r[3], r[4], r[5]) for r in rays]
+    for lane in range(k):
+        occf_ref[lane] = jnp.zeros(rays[lane][0].shape, jnp.float32)
+
+    def tri_step(s, acc):
+        v0 = (pg[0, s], pg[1, s], pg[2, s])
+        e1 = (pg[3, s], pg[4, s], pg[5, s])
+        e2 = (pg[6, s], pg[7, s], pg[8, s])
+        active = pg[9, s] > 0.0
+        out = []
+        for lane in range(k):
+            ox, oy, oz, dx, dy, dz, t_max = rays[lane]
+            hit = (_mt_occluded_tri(ox, oy, oz, dx, dy, dz, t_max,
+                                    v0, e1, e2) & active)
+            out.append(jnp.maximum(acc[lane], hit.astype(jnp.float32)))
+        return out
+
+    def process_page(page):
+        pltpu.make_async_copy(pages_hbm.at[page], pg, sem).wait()
+
+        def blk_body(b, _):
+            occ = [occf_ref[lane] for lane in range(k)]
+            live = None
+            for lane in range(k):
+                ox, oy, oz, _, _, _, t_max = rays[lane]
+                btn, btf = _block_slab(pg, b, ox, oy, oz, *inv[lane])
+                ll = ((btf >= btn) & (btf > 0.0) & (btn < t_max)
+                      & (occ[lane] < 0.5))
+                live = ll if live is None else (live | ll)
+
+            @pl.when(jnp.any(live))
+            def _():
+                acc = occ
+                for i in range(PAGE_BLK):
+                    acc = tri_step(b * PAGE_BLK + i, acc)
+                for lane in range(k):
+                    occf_ref[lane] = acc[lane]
+
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, blk_body, 0)
+
+    def body(cursor):
+        live = None
+        for lane in range(k):
+            ox, oy, oz, _, _, _, t_max = rays[lane]
+            tn, tf = _node_slab(nodes_f_ref, cursor, ox, oy, oz,
+                                *inv[lane])
+            lv = ((tn <= tf) & (tf > 0.0) & (tn < t_max)
+                  & (occf_ref[lane] < 0.5))
+            live = lv if live is None else (live | lv)
+        live = jnp.any(live)
         miss = nodes_i_ref[0, cursor]
         page = nodes_i_ref[1, cursor]
 

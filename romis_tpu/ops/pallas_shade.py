@@ -96,14 +96,14 @@ def _occlusion_k_into(n_tris: int, k: int, trix_ref, aabb_ref, rays,
     jax.lax.fori_loop(0, _blocks(n_tris), body, 0)
 
 
-def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
-                  res_ref, out_ref, occf_ref):
-    """ctx_ref: [18, bh, bw] pack_center_ctx planes (position3 | normal3 |
-    view3 | kd3 | ks3 | shin | depth | valid). res_ref: [10K, bh, bw]
-    pack_pixel_planes reservoir order (pos 3K | color 3K | w_sum K | m K |
-    big_w K | chosen_w K — the spatial pass's own output layout, so no
-    re-pack copy between the passes and the shade). Output [3, bh, bw]
-    pre-tone-map color."""
+def _shade_lane_setup(ctx_ref, res_ref, k):
+    """Per-lane shadow-ray setup (ops/wrs.visibility semantics) + the
+    shared receiver context. Returns (shared, rays, lane_state); rays is
+    the list of (ox, oy, oz, dx, dy, dz, t_max) tuples the occlusion loops
+    consume. Dead-ray diet: where the contribution is provably zero (miss
+    pixel, light behind the surface, or zero W) the visibility result is
+    never read — zero t_max so those rays stop keeping triangle blocks /
+    BVH pages alive in the culling loops."""
     px, py, pz = ctx_ref[0], ctx_ref[1], ctx_ref[2]
     nx, ny, nz = ctx_ref[3], ctx_ref[4], ctx_ref[5]
 
@@ -114,14 +114,10 @@ def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
     vinv = jnp.reciprocal(jnp.maximum(_safe_norm3(vx0, vy0, vz0), 1e-20))
     vx, vy, vz = vx0 * vinv, vy0 * vinv, vz0 * vinv
 
-    kdx, kdy, kdz = ctx_ref[9], ctx_ref[10], ctx_ref[11]
-    ksx, ksy, ksz = ctx_ref[12], ctx_ref[13], ctx_ref[14]
     shin = ctx_ref[15]
     valid = ctx_ref[17] > 0.5
+    shared = (nx, ny, nz, vx, vy, vz, shin, valid)
 
-    acc = [jnp.zeros(px.shape, jnp.float32) for _ in range(3)]
-
-    # ===== per-lane ray setup (ops/wrs.visibility semantics) =====
     rays = []
     lane_state = []
     for lane in range(k):
@@ -147,19 +143,23 @@ def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
         oy = py + _SHADOW_EPS * ldy
         oz = pz + _SHADOW_EPS * ldz
         t_max = _safe_norm3(lx - ox, ly - oy, lz - oz)
-        # Dead-ray diet: where the contribution is provably zero (miss
-        # pixel, light behind the surface, or zero W) the visibility result
-        # is never read — zero t_max so those rays stop keeping triangle
-        # blocks alive in the culling loop.
         live = valid & (dot_nl >= 0.0) & (big_w != 0.0)
         t_max = jnp.where(live, t_max, 0.0)
         rays.append((ox, oy, oz, ldx, ldy, ldz, t_max))
         lane_state.append((big_w, dist, plx, ply, plz, dot_nl, vdist))
 
-    # ===== one shared occlusion loop over all K lanes =====
-    _occlusion_k_into(n_tris, k, trix_ref, aabb_ref, rays, occf_ref)
+    return shared, rays, lane_state
 
-    # ===== Phong (ops/shading.phong_shade semantics) =====
+
+def _shade_phong_accum(shin_n, k, shared, lane_state, ctx_ref, res_ref,
+                       occf_ref, out_ref):
+    """Phong x vis x W lane average (ops/shading.phong_shade semantics)
+    given per-lane occlusion flags in occf_ref [K, bh, bw]."""
+    nx, ny, nz, vx, vy, vz, shin, valid = shared
+    kdx, kdy, kdz = ctx_ref[9], ctx_ref[10], ctx_ref[11]
+    ksx, ksy, ksz = ctx_ref[12], ctx_ref[13], ctx_ref[14]
+
+    acc = [jnp.zeros(nx.shape, jnp.float32) for _ in range(3)]
     for lane in range(k):
         big_w, dist, plx, ply, plz, dot_nl, vdist = lane_state[lane]
         cr = res_ref[3 * k + 3 * lane]
@@ -199,6 +199,40 @@ def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
         out_ref[c] = acc[c] * inv_k
 
 
+def _shade_kernel(n_tris: int, k: int, shin_n, trix_ref, aabb_ref, ctx_ref,
+                  res_ref, out_ref, occf_ref):
+    """ctx_ref: [18, bh, bw] pack_center_ctx planes (position3 | normal3 |
+    view3 | kd3 | ks3 | shin | depth | valid). res_ref: [10K, bh, bw]
+    pack_pixel_planes reservoir order (pos 3K | color 3K | w_sum K | m K |
+    big_w K | chosen_w K — the spatial pass's own output layout, so no
+    re-pack copy between the passes and the shade). Output [3, bh, bw]
+    pre-tone-map color."""
+    shared, rays, lane_state = _shade_lane_setup(ctx_ref, res_ref, k)
+
+    # ===== one shared occlusion loop over all K lanes =====
+    _occlusion_k_into(n_tris, k, trix_ref, aabb_ref, rays, occf_ref)
+
+    _shade_phong_accum(shin_n, k, shared, lane_state, ctx_ref, res_ref,
+                       occf_ref, out_ref)
+
+
+def _shade_paged_kernel(n_blocks: int, k: int, shin_n,
+                        nodes_f_ref, nodes_i_ref, pages_hbm,
+                        ctx_ref, res_ref, out_ref, pg, occf_ref, sem):
+    """Large-scene variant of _shade_kernel: the K shadow-ray occlusions
+    ride ONE shared paged-BVH walk (ops/pallas_bvh.occlusion_paged_k_into)
+    instead of the SMEM triangle-soup loop — the fused final shade at any
+    triangle count (reference: Embree handles this for free,
+    embree_interface.cpp:58-90)."""
+    from .pallas_bvh import occlusion_paged_k_into
+
+    shared, rays, lane_state = _shade_lane_setup(ctx_ref, res_ref, k)
+    occlusion_paged_k_into(n_blocks, nodes_f_ref, nodes_i_ref, pages_hbm,
+                           rays, occf_ref, pg, sem)
+    _shade_phong_accum(shin_n, k, shared, lane_state, ctx_ref, res_ref,
+                       occf_ref, out_ref)
+
+
 def final_shade_pallas(
     ctx_planes: jnp.ndarray,  # [18, H, W] pack_center_ctx
     res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
@@ -235,4 +269,50 @@ def final_shade_pallas(
         scratch_shapes=[pltpu.VMEM((k, _BH, _BW), jnp.float32)],
         interpret=interpret,
     )(trix, aabbs, ctx_p, res_p)
+    return out[:, :h, :w]
+
+
+def final_shade_paged_pallas(
+    ctx_planes: jnp.ndarray,  # [18, H, W] pack_center_ctx
+    res_planes: jnp.ndarray,  # [10K, H, W] pack_pixel_planes res order
+    paged,  # ops.bvh.PagedBVH
+    k: int,
+    uniform_shin=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused visibility x Phong x W lane average through the paged BVH —
+    the large-scene (>2048 tris) counterpart of final_shade_pallas. Same
+    output contract: color [3, H, W], pre-tone-map."""
+    from .bvh import PAGE_BLK
+
+    ctx_p, h, w = _pad_hw(ctx_planes, _BH, _BW)
+    res_p, _, _ = _pad_hw(res_planes, _BH, _BW)
+    hp, wp = ctx_p.shape[-2:]
+    bh, bw = min(_BH, hp), min(_BW, wp)
+
+    n_blocks = paged.page_tris // PAGE_BLK
+    grid = (hp // bh, wp // bw)
+    out = pl.pallas_call(
+        functools.partial(_shade_paged_kernel, n_blocks, k,
+                          int(uniform_shin) if uniform_shin else None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes_box
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodes_link
+            pl.BlockSpec(memory_space=pl.ANY),      # pages stay in HBM
+            pl.BlockSpec((18, bh, bw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10 * k, bh, bw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, bh, bw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((paged.pages.shape[1], paged.page_tris), jnp.float32),
+            pltpu.VMEM((k, bh, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(paged.nodes_box, paged.nodes_link, paged.pages, ctx_p, res_p)
     return out[:, :h, :w]

@@ -471,14 +471,21 @@ def _final_shade_fused_bwd(features, residuals, ct):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _final_shade_fused(ctx, reservoirs, geometry, features):
-    from ..ops.pallas_shade import final_shade_pallas
     from ..ops.pallas_spatial import pack_center_ctx
 
     # pack(unpack(x)) of the spatial pass's own output layout — XLA's
     # concat-of-slices simplification elides the round trip.
-    return final_shade_pallas(
-        pack_center_ctx(ctx), pack_reservoir_planes(reservoirs), geometry,
-        reservoirs.k)
+    cp = pack_center_ctx(ctx)
+    rp = pack_reservoir_planes(reservoirs)
+    if geometry.bvh is not None:
+        from ..ops.pallas_shade import final_shade_paged_pallas
+
+        return final_shade_paged_pallas(
+            cp, rp, geometry.bvh.paged, reservoirs.k,
+            uniform_shin=getattr(geometry, "uniform_shin", None))
+    from ..ops.pallas_shade import final_shade_pallas
+
+    return final_shade_pallas(cp, rp, geometry, reservoirs.k)
 
 
 _final_shade_fused.defvjp(_final_shade_fused_fwd, _final_shade_fused_bwd)
@@ -488,13 +495,17 @@ def final_shade(ctx: ShadeCtx, reservoirs: Reservoirs, geometry,
                 features: Features) -> jnp.ndarray:
     """Final shading (reference finalShading, render_utils.cpp:54-65):
     per lane, visibility ray × Phong × W, averaged over the K lanes.
-    → [3, H, W]. On TPU with an on-chip-resident soup the whole phase runs
-    as one fused kernel (ops/pallas_shade.py)."""
+    → [3, H, W]. On TPU the whole phase runs as one fused kernel
+    (ops/pallas_shade.py): the soup variant when the triangles fit SMEM,
+    the paged-BVH variant (K-lane shared walk) for larger scenes."""
+    from ..ops.pallas_bvh import paged_fits
     from ..ops.pallas_trace import fits_pallas
 
-    if (getattr(geometry, "use_pallas", False) and geometry.bvh is None
-            and features.enable_shading and fits_pallas(geometry)):
-        return _final_shade_fused(ctx, reservoirs, geometry, features)
+    if getattr(geometry, "use_pallas", False) and features.enable_shading:
+        if geometry.bvh is None and fits_pallas(geometry):
+            return _final_shade_fused(ctx, reservoirs, geometry, features)
+        if geometry.bvh is not None and paged_fits(geometry.bvh.paged):
+            return _final_shade_fused(ctx, reservoirs, geometry, features)
     return _final_shade_xla(ctx, reservoirs, geometry, features)
 
 

@@ -140,6 +140,29 @@ def test_build_bvh_attaches_paged():
                                rtol=1e-6)
 
 
+def test_paged_final_shade_matches_xla():
+    """Fused paged final shade (K-lane shared BVH walk) vs the XLA final
+    shade with brute-force visibility, random reservoir state."""
+    from romis_tpu.core.features import Features
+    from romis_tpu.ops.pallas_shade import final_shade_paged_pallas
+    from romis_tpu.ops.pallas_spatial import pack_center_ctx
+    from romis_tpu.render.restir import (
+        _final_shade_xla, pack_reservoir_planes,
+    )
+    from helpers import random_reservoirs_and_ctx
+
+    geo, paged = _paged_scene(page_tris=64)
+    h, w, k = 24, 140, 2
+    res, ctx = random_reservoirs_and_ctx(np.random.default_rng(7), h, w, k)
+
+    expect = np.asarray(
+        _final_shade_xla(ctx, res, geo.replace(bvh=None), Features()))
+    got = np.asarray(final_shade_paged_pallas(
+        pack_center_ctx(ctx), pack_reservoir_planes(res), paged, k,
+        interpret=True))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-5)
+
+
 def test_paged_closest_big_scene_matches_traverse():
     """monkey_field 3x3 (4.5k tris): paged kernel vs the XLA wavefront."""
     from romis_tpu.ops.traverse import bvh_closest
