@@ -409,6 +409,92 @@ def combine_biased(
                       big_w=big_w, chosen_w=sel_w)
 
 
+def combine_biased_surrogate(
+    key: jax.Array,
+    receiver: ShadeCtx,
+    inputs: Reservoirs,  # fields [R, K, ..., H, W]
+    in_mask: jnp.ndarray,  # [R, H, W]
+    features: Features,
+    gumbel=None,
+    gumbel2=None,
+) -> Reservoirs:
+    """combine_biased with the winner-replay surrogate gradient — the
+    spatial/temporal race is the same select-one-of-R estimator as RIS
+    candidate generation, so the same construction applies
+    (_gen_canonical_surrogate):
+
+    - the R x K stream-weight sweep and BOTH Gumbel races run DETACHED
+      (no backward through R target_pdf evaluations per lane — the
+      dominant spatial backward cost, scripts/grad_bench.py);
+    - the winner's w and p_hat are RE-EVALUATED differentiably (one
+      target_pdf per lane), so gradients flow into the selected input's
+      pos/color/W/M and into the receiver context;
+    - d(w_sum) comes from a SECOND independent race J' ~ w / sum(w):
+      w_sum + stopgrad(w_sum / w_J') * (w_J' - stopgrad(w_J')) has value
+      w_sum exactly and expected gradient sum_j dw_j
+      (tests/test_grad_surrogate.py::test_spatial_surrogate_*).
+
+    The primary race consumes the SAME gumbel draw as combine_biased, so
+    every output VALUE matches the exact path bit-for-bit (up to fusion
+    reassociation in the re-evaluated winner attributes); only the
+    gradient is estimated."""
+    recv_d = jax.lax.stop_gradient(receiver)
+    in_d = jax.lax.stop_gradient(inputs)
+    mask_d = jax.lax.stop_gradient(in_mask)
+    w_d, p_hat_d = _stream_weights(recv_d, in_d, mask_d, features)
+
+    if gumbel is None:
+        gumbel = jax.random.gumbel(key, w_d.shape)
+    log_w = jnp.log(jnp.maximum(w_d, 1e-37))
+    score1 = jnp.where(w_d > 0.0, log_w + gumbel, -jnp.inf)
+    win1 = jnp.argmax(score1, axis=0)  # [K, H, W]
+    if gumbel2 is None:  # injection point for the exact-identity test
+        gumbel2 = jax.random.gumbel(jax.random.fold_in(key, 77), w_d.shape)
+    score2 = jnp.where(w_d > 0.0, log_w + gumbel2, -jnp.inf)
+    win2 = jnp.argmax(score2, axis=0)
+
+    r = w_d.shape[0]
+
+    def sel(a, win):
+        # R-way masked select (differentiable into the winning input);
+        # same shape contract as _select_lanewise.gather.
+        win_b = win if a.ndim == 4 else win[:, None]
+        out = jnp.zeros(a.shape[1:], a.dtype)
+        for i in range(r):
+            out = jnp.where(win_b == i, a[i], out)
+        return out
+
+    # Differentiable winner re-evaluation (selection is data).
+    sel_pos = sel(inputs.pos, win1)
+    sel_color = sel(inputs.color, win1)
+    sel_big_w = sel(inputs.big_w, win1)
+    sel_m = sel(inputs.m, win1)
+    sel_p_hat = target_pdf(receiver, sel_pos, sel_color, features)
+    # Gate by the detached gathered weight: zero where the winner had w=0
+    # (all-masked lane) — matches the exact path's gathered sel_w.
+    won = sel(w_d, win1) > 0.0
+    sel_w = jnp.where(won, sel_p_hat * sel_big_w * sel_m, 0.0)
+    sel_p_hat = jnp.where(won, sel_p_hat, sel(p_hat_d, win1))
+
+    # w_sum: detached value + single-sample gradient via the second race.
+    w_sum_d = jnp.sum(w_d, axis=0)
+    pos2 = sel(inputs.pos, win2)
+    col2 = sel(inputs.color, win2)
+    w2 = (target_pdf(receiver, pos2, col2, features)
+          * sel(inputs.big_w, win2) * sel(inputs.m, win2))
+    w2_d = jax.lax.stop_gradient(w2)
+    ratio = jnp.where(w2_d > 0.0,
+                      w_sum_d / jnp.where(w2_d > 0.0, w2_d, 1.0), 0.0)
+    w_sum = w_sum_d + ratio * (w2 - w2_d)
+
+    m_out = jnp.sum(jnp.where(in_mask[:, None], inputs.m, 0.0), axis=0)
+    big_w = _safe_big_w(w_sum, sel_p_hat, m_out,
+                        (jax.lax.stop_gradient(sel_p_hat) > 0.0)
+                        & (m_out > 0.0))
+    return Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
+                      big_w=big_w, chosen_w=sel_w)
+
+
 def combine_unbiased(
     key: jax.Array,
     receiver: ShadeCtx,

@@ -205,6 +205,15 @@ def spatial_pass(
         return combine_unbiased(
             combine_key, ctx, inputs, in_mask, input_ctxs, geometry, features
         )
+    if features.surrogate_resampling_grad:
+        # Winner-replay surrogate for the spatial race (same estimator
+        # shape as RIS candidate generation): detached R-way sweep, winner
+        # re-evaluated backward, w_sum gradient via a second race. Values
+        # match combine_biased bit-for-bit (shared primary gumbel).
+        from ..ops.wrs import combine_biased_surrogate
+
+        return combine_biased_surrogate(combine_key, ctx, inputs, in_mask,
+                                        features, gumbel)
     return combine_biased(combine_key, ctx, inputs, in_mask, features,
                           gumbel)
 
@@ -542,9 +551,18 @@ def render_restir_frame(
             jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
 
     if features.spatial_reuse:
-        res = jax.checkpoint(lambda k_, c_, r_, ge_: spatial_reuse(
-            k_, c_, r_, height, width, ge_, features))(
-            jax.random.fold_in(key, PH_SPATIAL), ctx, res, geometry)
+        sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
+            k_, c_, r_, height, width, ge_, features)
+        if (not features.surrogate_resampling_grad
+                or features.unbiased_combination):
+            # Under the winner-replay surrogate the R-way sweep is
+            # detached, so the phase's true residuals are small (winner
+            # selects + two re-eval inputs) — rematerialising would
+            # re-run the whole detached sweep in the backward for
+            # nothing. Exact gradients keep the checkpoint (the sweep's
+            # per-input residuals at 1080p exceed HBM otherwise).
+            sp = jax.checkpoint(sp)
+        res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geometry)
 
     color = final_shade(ctx, res, geometry, features)
     if features.enable_tone_mapping:

@@ -69,9 +69,11 @@ def main():
                 jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
             if stage == "temporal":
                 return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
-        res = jax.checkpoint(lambda k_, c_, r_, ge_: spatial_reuse(
-            k_, c_, r_, h, w, ge_, features))(
-            jax.random.fold_in(key, PH_SPATIAL), ctx, res, geo)
+        sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
+            k_, c_, r_, h, w, ge_, features)
+        if not features.surrogate_resampling_grad:
+            sp = jax.checkpoint(sp)  # mirrors render_restir_frame
+        res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geo)
         if stage in ("spatial", "ris_notemporal"):
             return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
         color = final_shade(ctx, res, geo, features)

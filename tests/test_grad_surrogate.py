@@ -163,3 +163,105 @@ def test_surrogate_gradient_unbiased():
         assert not bad.any(), (
             name, int(bad.sum()), float(np.abs(mean).max()),
             float(stderr.max()))
+
+
+# ---------------------------------------------------------------------------
+# Spatial-race winner-replay surrogate (ops/wrs.combine_biased_surrogate)
+# ---------------------------------------------------------------------------
+
+def _combine_setup(rng_seed=8, r=4):
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import random_reservoirs_and_ctx
+
+    h, w = HW
+    feats = Features(enable_tone_mapping=False)
+    k = feats.num_samples_in_reservoir
+    rng = np.random.default_rng(rng_seed)
+    _, recv = random_reservoirs_and_ctx(rng, h, w, k)
+    stacks = [random_reservoirs_and_ctx(rng, h, w, k)[0] for _ in range(r)]
+    inputs = jax.tree.map(lambda *a: jnp.stack(a, axis=0), *stacks)
+    in_mask = jnp.asarray(rng.uniform(size=(r, h, w)) < 0.8)
+    return feats, recv, inputs, in_mask
+
+
+def test_spatial_surrogate_values_identical():
+    """combine_biased_surrogate shares the exact path's primary gumbel, so
+    every output value matches combine_biased bit-for-bit (up to fusion
+    reassociation in the re-evaluated winner attributes)."""
+    from romis_tpu.ops.wrs import combine_biased, combine_biased_surrogate
+
+    feats, recv, inputs, in_mask = _combine_setup()
+    key = jax.random.PRNGKey(5)
+    exact = combine_biased(key, recv, inputs, in_mask, feats)
+    surr = combine_biased_surrogate(key, recv, inputs, in_mask, feats)
+    for f in ("pos", "color", "w_sum", "m", "big_w", "chosen_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(exact, f)), np.asarray(getattr(surr, f)),
+            rtol=1e-5, atol=1e-6, err_msg=f)
+
+
+def test_spatial_surrogate_gradient_unbiased_exact():
+    """EXACT unbiasedness identity (no statistics): forcing the second race
+    to input j (gumbel2 injection) and weighting each cell's surrogate
+    gradient by P(J'=j) = w_j / w_sum must reproduce the exact autodiff
+    gradient componentwise —
+
+        sum_j P_j * grad_surrogate(win2=j)  ==  grad_exact
+
+    because E_J'[(w_sum/w_J') dw_J'] telescopes to sum_j dw_j. Input-array
+    gradients decompose per (lane, pixel) cell, so the per-cell P_j
+    weighting applies directly to the gradient components. Cells whose
+    w_sum is 0 get no correction from any j (ratio = 0): the leftover
+    (1 - sum_j P_j) weight goes to any forced j (they all agree there)."""
+    from romis_tpu.ops.wrs import (
+        _stream_weights, combine_biased, combine_biased_surrogate,
+    )
+
+    feats, recv, inputs, in_mask = _combine_setup()
+    h, w = HW
+    k = feats.num_samples_in_reservoir
+    r = int(inputs.m.shape[0])
+    pk = jax.random.split(jax.random.PRNGKey(12), 3)
+    proj = (jax.random.normal(pk[0], (k, h, w)),
+            jax.random.normal(pk[1], (k, 3, h, w)),
+            jax.random.normal(pk[2], (k, h, w)))
+    key = jax.random.PRNGKey(5)
+
+    def loss_with(combine, **kw):
+        def loss(in_pos, in_color, in_big_w):
+            ins = inputs.replace(pos=in_pos, color=in_color, big_w=in_big_w)
+            res = combine(key, recv, ins, in_mask, feats, **kw)
+            return (jnp.sum(res.big_w * proj[0])
+                    + jnp.sum(res.pos * proj[1])
+                    + jnp.sum(res.w_sum * proj[2]))
+        return loss
+
+    args = (inputs.pos, inputs.color, inputs.big_w)
+    ge = jax.grad(loss_with(combine_biased), argnums=(0, 1, 2))(*args)
+
+    w_d, _ = _stream_weights(recv, inputs, in_mask, feats)
+    w_sum = jnp.sum(w_d, axis=0)
+    p = np.asarray(w_d / jnp.maximum(w_sum, 1e-37))  # [R, K, H, W]
+    p = np.where(np.asarray(w_sum)[None] > 0, p, 0.0)
+    leftover = 1.0 - p.sum(axis=0)  # 1 at all-zero cells, else 0
+
+    acc = None
+    for j in range(r):
+        # Force win2 = j wherever w_j > 0 (finite score beats -1e30).
+        g2 = jnp.where(jnp.arange(r)[:, None, None, None] == j, 0.0, -1e30)
+        g2 = jnp.broadcast_to(g2, w_d.shape)
+        gs = jax.grad(loss_with(combine_biased_surrogate, gumbel2=g2),
+                      argnums=(0, 1, 2))(*args)
+        wt = p[j] + (leftover if j == 0 else 0.0)  # [K, H, W]
+        term = tuple(
+            np.asarray(g) * (wt[:, None] if g.ndim == 5 else wt)[None]
+            for g in gs)
+        acc = term if acc is None else tuple(
+            a + t for a, t in zip(acc, term))
+
+    for name, de, ds in zip(("pos", "color", "big_w"), ge, acc):
+        de = np.asarray(de)
+        scale = np.abs(de).max() + 1e-6
+        np.testing.assert_allclose(ds, de, rtol=2e-4, atol=2e-6 * scale,
+                                   err_msg=name)
