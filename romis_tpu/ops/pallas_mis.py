@@ -35,6 +35,13 @@ XLA formulation (up to f32 reassociation), not statistics.
 from __future__ import annotations
 
 import functools
+import os
+
+# Profiling knob (scripts/mis_sweep_micro.py): comma list of stages to
+# skip inside the sweep kernel — "resolve", "occlusion", "sweep". Trace-
+# static; NEVER set in production (outputs are wrong by construction).
+_ABLATE = frozenset(
+    s for s in os.environ.get("MIS_ABLATE", "").split(",") if s)
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +98,11 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     c_res = (8 if romis else 7) * k
 
     i = 0
+    # Scalar-prefetch: the per-iteration block index into the (possibly
+    # multi-block) reservoir pack. Runtime scalar — all iterations share
+    # ONE compiled kernel (a static block base compiled 5 distinct Mosaic
+    # kernels per mode and blew the compile budget).
+    it_ref = refs[i]; i += 1
     offs_ref = refs[i]; i += 1
     cen_ctx_ref = refs[i]; i += 1
     cen_res_ref = refs[i]; i += 1
@@ -127,9 +139,12 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     nslot = jax.lax.rem(step + 1, 2)
 
     # ===== double-buffered halo DMA (pattern of _pass_unbiased_kernel) =====
+    res_base = it_ref[0] * c_res
+
     def copy(ii, jj, s):
         return pltpu.make_async_copy(
-            res_hbm.at[:, pl.ds(ii * bh, he), pl.ds(jj * bw, we)],
+            res_hbm.at[pl.ds(res_base, c_res), pl.ds(ii * bh, he),
+                       pl.ds(jj * bw, we)],
             res_scr.at[s], sem_r.at[s])
 
     @pl.when(step == 0)
@@ -179,7 +194,10 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
             res_rs[d, c] = accs[d]
         return 0
 
-    jax.lax.fori_loop(0, c_res, resolve_body, 0)
+    if "resolve" not in _ABLATE:
+        jax.lax.fori_loop(0, c_res, resolve_body, 0)
+    else:
+        res_rs[...] = jnp.zeros_like(res_rs)
 
     # ===== receiver + neighbour shading contexts =====
     cx = _ctx_dict([cen_ctx_ref[p] for p in range(16)] + [cen_ctx_ref[17]],
@@ -224,14 +242,37 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
             dist = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
             dinv = 1.0 / jnp.maximum(dist, 1e-20)
             # Dead-ray diet: invalid receivers never read vis (f = 0).
+            # Measured negative result: extending the gate to dot_nl < 0
+            # and big_w == 0 changed nothing (54.3 ms either way) — the
+            # block culling tests jnp.any(live) per TILE, and per-pixel
+            # deadness doesn't shrink lockstep SIMD work.
             t_eff = jnp.where(valid, jnp.maximum(dist - _SHADOW_EPS, 0.0),
                               0.0)
             rays.append((tox * dinv, toy * dinv, toz * dinv, t_eff))
             dists.append(dist)
-    occlusion_shared_origin_into(n_tris, trix_ref, aabb_ref, (px, py, pz),
-                                 rays, _SHADOW_EPS, occf_ref)
+    if "occlusion" not in _ABLATE:
+        occlusion_shared_origin_into(n_tris, trix_ref, aabb_ref,
+                                     (px, py, pz), rays, _SHADOW_EPS,
+                                     occf_ref)
+    else:
+        occf_ref[...] = jnp.zeros_like(occf_ref)
 
     # ===== the (j, d, k) sweep =====
+    if "sweep" in _ABLATE:
+        # Consume resolve + occlusion so Mosaic can't dead-code them.
+        dummy = occf_ref[0] + res_rs[0, 0]
+        if romis:
+            for u in range(d1 * (d1 + 1) // 2):
+                a_ref[u] = dummy
+            for c in range(3 * d1):
+                b_ref[c] = dummy
+            if progressive:
+                for c in range(3):
+                    contrib_ref[c] = dummy
+        else:
+            for c in range(3):
+                contrib_ref[c] = dummy
+        return
     zeros = jnp.zeros((bh, bw), jnp.float32)
     if romis:
         n_up = d1 * (d1 + 1) // 2
@@ -331,6 +372,13 @@ def pack_mis_reservoirs(res, romis: bool) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=0)
 
 
+def mis_pick_bh(h: int, mode: str) -> int:
+    """The sweep kernel's tile height for ``mode`` (callers need it to
+    pre-pad the shared halo stack for batched-iteration calls)."""
+    need_ctx = mode in ("romis", "rmis_balance")
+    return min(pick_tile_h(h), 24 if need_ctx else 40)
+
+
 def resolve_neighbour_ctx(cen_ctx: jnp.ndarray, offs: jnp.ndarray,
                           radius: int) -> jnp.ndarray:
     """Pre-resolve the neighbour shading contexts ONCE per frame (they are
@@ -356,13 +404,21 @@ def mis_iteration_pallas(
     lane_counts,
     nbr_ctx: jnp.ndarray = None,  # [D*18, H, W] resolve_neighbour_ctx
     alphas: jnp.ndarray = None,  # [3*D1, H, W] (progressive R-OMIS)
+    it_block: int = 0,  # which per-iteration block of res_planes to use
+    res_pad=None,  # precomputed pad_halo(res_planes, ...) (batched calls)
     interpret: bool = False,
 ):
     """One fused R-MIS / R-OMIS iteration. Returns:
     - rmis_*: contribution [3, H, W] (sum over (d, k) of mis_w·W·f/K)
     - romis: (A upper-tri [D1(D1+1)/2, H, W], b [3*D1, H, W]
       [, progressive contribution [3, H, W]]).
-    romis/rmis_balance require ``nbr_ctx`` (cache it across iterations)."""
+    romis/rmis_balance require ``nbr_ctx`` (cache it across iterations).
+
+    ``res_planes`` may hold SEVERAL per-iteration pack blocks
+    (gen_mis_reservoir_planes layout); ``it_block`` picks this call's
+    block — the tile fetch and the halo-window DMA both slice the block,
+    so the batched layout costs nothing per call. Pass the shared
+    ``res_pad`` (pad_halo of the full stack) to pad once per frame."""
     if radius > 64:
         raise ValueError("fused MIS sweep supports radius <= 64")
     romis = mode == "romis"
@@ -376,10 +432,14 @@ def mis_iteration_pallas(
     # The ctx-carrying modes hold ~40 accumulator planes + the 18D-plane
     # neighbour ctx through the sweep — at bh=40 the kernel's scoped-VMEM
     # value stack exceeds the 16 MB limit; 24 divides 1080 and fits.
-    bh = min(pick_tile_h(h), 24 if need_ctx else 40)
+    bh = mis_pick_bh(h, mode)
     he, we = _halo_window(radius, bh)
 
-    res_pad = pad_halo(res_planes, radius, bh, mode="constant")
+    c_res = (8 if romis else 7) * k
+    if res_planes.shape[0] % c_res:
+        raise ValueError("res_planes is not a whole number of pack blocks")
+    if res_pad is None:
+        res_pad = pad_halo(res_planes, radius, bh, mode="constant")
     cen_ctx_p, _, _ = _pad_hw(cen_ctx, bh, _BW)
     res_p, _, _ = _pad_hw(res_planes, bh, _BW)
     offs_p, _, _ = _pad_hw(offs, bh, _BW)
@@ -387,14 +447,18 @@ def mis_iteration_pallas(
         alphas_p, _, _ = _pad_hw(alphas, bh, _BW)
     hp, wp = cen_ctx_p.shape[-2:]
     grid = (hp // bh, wp // _BW)
-    c_res = res_planes.shape[0]
 
     trix = _tri_columns(geometry)
     aabbs = _block_aabbs(geometry, trix)
 
-    tile = lambda c: pl.BlockSpec((c, bh, _BW), lambda i, j: (0, i, j),
+    # Index maps receive the scalar-prefetch ref (the iteration block) as
+    # the TRAILING argument.
+    tile = lambda c: pl.BlockSpec((c, bh, _BW), lambda i, j, s: (0, i, j),
                                   memory_space=pltpu.VMEM)
-    in_specs = [tile(2 * d_nbr), tile(18), tile(c_res)]
+    res_tile = pl.BlockSpec((c_res, bh, _BW),
+                            lambda i, j, s: (s[0], i, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [tile(2 * d_nbr), tile(18), res_tile]
     inputs = [offs_p, cen_ctx_p, res_p]
     if need_ctx:
         nbr_ctx_p, _, _ = _pad_hw(nbr_ctx, bh, _BW)
@@ -434,13 +498,17 @@ def mis_iteration_pallas(
             num_lights, tuple(float(c) for c in lane_counts),
             int(uniform_shin) if uniform_shin else None, progressive,
             grid[1], grid[0] * grid[1], bh),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(tuple(out_specs) if len(out_specs) > 1
+                       else out_specs[0]),
+            scratch_shapes=scratch,
+        ),
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
-        scratch_shapes=scratch,
         interpret=interpret,
-    )(*inputs)
+    )(jnp.asarray([it_block], jnp.int32), *inputs)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
     outs = tuple(o[:, :h, :w] for o in outs)

@@ -123,10 +123,13 @@ def _nbrsel_kernel(d: int, radius: int, two_classes: bool,
             ndot = nb[2] * c_nx + nb[3] * c_ny + nb[4] * c_nz
             sim &= ndot >= normal_cos
 
-            g = -jnp.log(jnp.maximum(
-                -jnp.log(jnp.maximum(
-                    _u01(pltpu.bitcast(pltpu.prng_random_bits((bh, bw)),
-                                       jnp.uint32)), 1e-37)), 1e-37))
+            # Uniform-score race: within a class every candidate has equal
+            # weight, so top-D of i.i.d. u01 IS uniform sampling without
+            # replacement — identical distribution to the Gumbel race at
+            # zero log-weight, minus 2 transcendental logs per offset
+            # (880 VPU transcendentals/pixel over the 440-cell box).
+            g = _u01(pltpu.bitcast(pltpu.prng_random_bits((bh, bw)),
+                                   jnp.uint32))
             pack = float((dy + radius) * side + (dx + radius))
             if two_classes:
                 s_sim = jnp.where(in_b & sim, g, _BIG_NEG)
@@ -199,7 +202,10 @@ def neighbour_select_pallas(
     _, h, w = gates.shape
     # The unrolled 440-offset scan spills aggressively — at bh=40 the
     # scoped-VMEM value stack exceeds the 16 MB limit (19.4 MB measured).
-    bh = min(pick_tile_h(h), 24)
+    # bh=32 measured best of {8: 59.2, 16: 85.5, 24: 62.0, 32: 54.5} ms at
+    # 1080p (1080 % 32 != 0 costs a 3.7% pad row band — still fastest).
+    bh = min(pick_tile_h(h), 32) if h % 32 == 0 or h >= 256 else \
+        min(pick_tile_h(h), 24)
     gates_pad = pad_halo(gates, radius, bh, mode="constant")
     cen, _, _ = _pad_hw(gates, bh, _BW)
     hp, wp = cen.shape[-2:]

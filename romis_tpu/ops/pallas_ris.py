@@ -143,6 +143,7 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
 
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                 const_cols, affine_segments, shin_n, replay: bool,
+                mis_layout, group_k,
                 seed_ref, ctx_ref, table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
@@ -313,8 +314,11 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                              u(n_u * lane + 2))
             pos, col, p_hat, idxf = candidate(u_i, u_1, u_2)
             u_g = u(n_u * lane + 3)
-            # Candidate j = t*K + lane only exists while j < S.
-            real = (t * k_lanes + lane < s_slots).astype(jnp.float32)
+            # Lane `lane` holds exactly lane_counts[lane] real candidates
+            # (t < count ⇔ the standard layout's j = t*K + lane < S; the
+            # count form also carries the batched-iterations variant,
+            # where counts repeat per iteration block).
+            real = (t < int(lane_counts[lane])).astype(jnp.float32)
             w = p_hat * float(num_lights) * real
 
             # Exponential race (one log, vs Gumbel-max's two): argmax of
@@ -353,6 +357,37 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                 + list(state[o + 6:o + 9])
             for i, v in enumerate(planes):
                 out_refs[lane * 7 + i][...] = v
+        return
+
+    if mis_layout is not None:
+        # Direct pack_mis_reservoirs layout into ONE [C, bh, bw] ref:
+        # per-iteration blocks of [pos 3K | color 3K | big_w K] (rmis) or
+        # [pos 3K | color 3K | w_sum K | chosen K] (romis) — the MIS sweep
+        # kernels read this as-is, killing the per-iteration stack+pack
+        # copies (measured 4.3 ms each at 1080p).
+        out = out_refs[0]
+        romis_l = mis_layout == "romis"
+        kg = group_k
+        c_blk = (8 if romis_l else 7) * kg
+        for lane in range(k_lanes):
+            it, lg = lane // kg, lane % kg
+            o = 10 * lane
+            w_sum_l = state[o]
+            sel = state[o + 2:o + 10]
+            base = it * c_blk
+            for c in range(3):
+                out[base + 3 * lg + c] = sel[c]
+                out[base + 3 * kg + 3 * lg + c] = sel[3 + c]
+            if romis_l:
+                out[base + 6 * kg + lg] = w_sum_l
+                out[base + 7 * kg + lg] = sel[6]
+            else:
+                m = float(lane_counts[lane])
+                p_hat_l = sel[7]
+                cond = p_hat_l > 0.0
+                denom = jnp.where(cond, p_hat_l * m, 1.0)
+                out[base + 6 * kg + lg] = jnp.where(
+                    cond, w_sum_l / denom, 0.0)
         return
 
     # Outputs: per lane [pos3, color3, w_sum, chosen_w, p_hat, big_w].
@@ -414,7 +449,7 @@ def gen_canonical_samples_pallas(
                           tuple(float(c) for c in lane_counts),
                           const_cols, affine_segments,
                           int(uniform_shin) if uniform_shin else None,
-                          False),
+                          False, None, None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
@@ -448,6 +483,73 @@ def gen_canonical_samples_pallas(
     # geometry for the shadow rays.
     return Reservoirs(pos=pos, color=color, w_sum=w_sum, m=m, big_w=big_w,
                       chosen_w=chosen)
+
+
+def gen_mis_reservoir_planes(
+    seed: jnp.ndarray,  # [] int32
+    ctx: ShadeCtx,
+    lights,
+    num_lights: int,
+    features: Features,
+    iterations: int,
+    romis: bool,
+    uniform_shin: float = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched canonical generation for the fused R-MIS / R-OMIS sweep:
+    ALL `iterations` x K canonical reservoirs in ONE kernel call
+    (K' = iterations*K lanes, per-lane candidate counts = the per-iteration
+    _lane_layout counts), emitted directly as per-iteration
+    pack_mis_reservoirs blocks → [iterations * (7|8)K, H, W].
+
+    Iterations are mutually independent candidate draws — the estimator is
+    identical to `iterations` separate gen_canonical_samples_pallas calls
+    (single pltpu PRNG stream instead of per-iteration seeds; statistics
+    match, bits don't — the usual kernel contract). Measured: replaces
+    5 x (8 ms RIS + 4.3 ms pack) with one ~28 ms call at 1080p."""
+    from .wrs import _lane_layout
+
+    h, w = ctx.depth_t.shape[-2:]
+    s = features.initial_light_samples
+    k = features.num_samples_in_reservoir
+    _, lane_counts1, _ = _lane_layout(s, k)
+    lane_counts = tuple(float(c) for c in lane_counts1) * iterations
+    k_lanes = k * iterations
+    c_blk = (8 if romis else 7) * k
+    n_out = iterations * c_blk
+
+    packed = pack_ctx(ctx)
+    ph = (-h) % _BH
+    pw = (-w) % _BW
+    if ph or pw:
+        packed = jnp.pad(packed, ((0, 0), (0, ph), (0, pw)))
+    hp, wp = packed.shape[-2:]
+
+    l = lights.rows.shape[0]
+    l_pad = max(128, -(-l // 128) * 128)
+    table_t = jnp.pad(lights.rows, ((0, l_pad - l), (0, 0))).T
+
+    grid = (hp // _BH, wp // _BW)
+    outs = pl.pallas_call(
+        functools.partial(_ris_kernel, s * iterations, k_lanes, num_lights,
+                          lane_counts,
+                          getattr(lights, "const_cols", None),
+                          getattr(lights, "affine_segments", None),
+                          int(uniform_shin) if uniform_shin else None,
+                          False, "romis" if romis else "rmis", k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CTX_PLANES, _BH, _BW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out, _BH, _BW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), packed, table_t)
+    return outs[:, :h, :w]
 
 
 def gen_canonical_replay_pallas(
@@ -495,7 +597,7 @@ def gen_canonical_replay_pallas(
                           getattr(lights, "const_cols", None),
                           getattr(lights, "affine_segments", None),
                           int(uniform_shin) if uniform_shin else None,
-                          True),
+                          True, None, None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

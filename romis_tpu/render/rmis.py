@@ -131,31 +131,56 @@ def render_rmis(
         from ..ops.pallas_mis import (
             mis_iteration_pallas, pack_mis_reservoirs, resolve_neighbour_ctx,
         )
+        from ..ops.pallas_ris import gen_mis_reservoir_planes
         from ..ops.pallas_spatial import pack_center_ctx
         from ..ops.wrs import _lane_layout
 
-        _, lane_counts, _ = _lane_layout(
-            features.initial_light_samples,
-            features.num_samples_in_reservoir)
+        k = features.num_samples_in_reservoir
+        _, lane_counts, _ = _lane_layout(features.initial_light_samples, k)
         cen_ctx = pack_center_ctx(ctx)
         offs = _mis_offsets(ny, nx)
         balance = features.mis_weight_rmis == MISWeight.BALANCE
         mode = "rmis_balance" if balance else "rmis_equal"
         nbr_ctx = (resolve_neighbour_ctx(cen_ctx, offs, radius)
                    if balance else None)
+        ushin = getattr(geometry, "uniform_shin", None)
 
-        def iteration(acc, it_key):
-            res = gen_canonical_samples(it_key, ctx, lights, num_lights,
-                                        geometry, features)
-            contrib = mis_iteration_pallas(
-                cen_ctx, pack_mis_reservoirs(res, romis=False), offs,
-                geometry, features.num_samples_in_reservoir, radius, mode,
-                num_lights, lane_counts, nbr_ctx=nbr_ctx)
-            return acc + contrib, None
+        if not features.initial_samples_visibility_check:
+            # All it_n iterations' canonical reservoirs in ONE batched RIS
+            # call, emitted directly in the sweep kernel's pack layout (no
+            # per-iteration stack+pack copies); each sweep call slices its
+            # block. Iterations are independent draws — same estimator as
+            # the per-iteration loop below.
+            seed = jax.random.key_data(
+                jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
+            res_pack = gen_mis_reservoir_planes(
+                seed, ctx, lights, num_lights, features, it_n, romis=False,
+                uniform_shin=ushin)
+            from ..ops.pallas_mis import mis_pick_bh
+            from ..ops.pallas_spatial import pad_halo
 
-        it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER), it_n)
-        acc, _ = jax.lax.scan(iteration, jnp.zeros((3, height, width)),
-                              it_keys)
+            res_pad = pad_halo(res_pack, radius,
+                               mis_pick_bh(height, mode), mode="constant")
+            acc = jnp.zeros((3, height, width))
+            for i in range(it_n):
+                acc = acc + mis_iteration_pallas(
+                    cen_ctx, res_pack, offs, geometry, k, radius, mode,
+                    num_lights, lane_counts, nbr_ctx=nbr_ctx, it_block=i,
+                    res_pad=res_pad)
+        else:
+            def iteration(acc, it_key):
+                res = gen_canonical_samples(it_key, ctx, lights, num_lights,
+                                            geometry, features)
+                contrib = mis_iteration_pallas(
+                    cen_ctx, pack_mis_reservoirs(res, romis=False), offs,
+                    geometry, k, radius, mode,
+                    num_lights, lane_counts, nbr_ctx=nbr_ctx)
+                return acc + contrib, None
+
+            it_keys = jax.random.split(
+                jax.random.fold_in(key, PH_ITER), it_n)
+            acc, _ = jax.lax.scan(iteration, jnp.zeros((3, height, width)),
+                                  it_keys)
         color = acc / it_n
         if features.enable_tone_mapping:
             color = exposure_tone_mapping(color, features)

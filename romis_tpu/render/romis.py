@@ -174,23 +174,49 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
     alphas = jnp.zeros((3, d1, height, width))
     total_samples = float(d1 * k_lanes)
 
+    # Batched canonical generation: every iteration's reservoirs from ONE
+    # RIS call emitted in the sweep kernel's pack layout + one shared
+    # halo pad (see render_rmis). Progressive mode still consumes blocks
+    # sequentially (alphas update between iterations), so batching is
+    # equally valid there.
+    batched = not features.initial_samples_visibility_check
+    if batched:
+        from ..ops.pallas_mis import mis_pick_bh
+        from ..ops.pallas_ris import gen_mis_reservoir_planes
+        from ..ops.pallas_spatial import pad_halo
+
+        seed = jax.random.key_data(
+            jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
+        res_pack = gen_mis_reservoir_planes(
+            seed, ctx, lights, num_lights, features,
+            features.max_iterations_mis, romis=True,
+            uniform_shin=getattr(geometry, "uniform_shin", None))
+        res_pad = pad_halo(res_pack, radius,
+                           mis_pick_bh(height, "romis"), mode="constant")
+
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)
     for iteration in range(features.max_iterations_mis):
-        res = gen_canonical_samples(it_keys[iteration], ctx, lights,
-                                    num_lights, geometry, features)
         if (progressive and iteration >= 1
                 and iteration % features.progressive_update_mod == 0):
             alphas = solve_alpha(expand_a_upper(a_up, d1),
                                  b_vec.reshape(3, d1, height, width))
         if progressive:
             final_colors = final_colors + jnp.sum(alphas, axis=1)
+        if batched:
+            res_args = dict(it_block=iteration, res_pad=res_pad)
+            res_planes = res_pack
+        else:
+            res = gen_canonical_samples(it_keys[iteration], ctx, lights,
+                                        num_lights, geometry, features)
+            res_args = {}
+            res_planes = pack_mis_reservoirs(res, romis=True)
         outs = mis_iteration_pallas(
-            cen_ctx, pack_mis_reservoirs(res, romis=True), offs, geometry,
+            cen_ctx, res_planes, offs, geometry,
             k_lanes, radius, "romis", num_lights, lane_counts,
             nbr_ctx=nbr_ctx,
             alphas=alphas.reshape(3 * d1, height, width) if progressive
-            else None)
+            else None, **res_args)
         a_up = a_up + outs[0]
         b_vec = b_vec + outs[1]
         if progressive:

