@@ -48,7 +48,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_ris import _phong_phat, _phong_rgb, hoist_unit_view
+from .pallas_ris import (
+    _phong_phat,
+    _phong_rgb,
+    compact_pack_ok,
+    hoist_unit_view,
+    light_comps_affine,
+    light_comps_const,
+    light_pos_col,
+)
 from .pallas_spatial import _BW, _halo_window, pad_halo, pick_tile_h
 from .pallas_trace import (
     _block_aabbs,
@@ -79,7 +87,7 @@ def _ctx_dict(planes, shin_n):
 
 def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
                 num_lights: int, lane_counts, shin_n, progressive: bool,
-                n_tj: int, n_steps: int, bh: int,
+                n_tj: int, n_steps: int, bh: int, light_static,
                 *refs):
     """mode: 'rmis_equal' | 'rmis_balance' | 'romis'. refs layout (wrapper
     order): offs[2D], cen_ctx[18], cen_res[C_res], [nbr_ctx[18D]],
@@ -88,14 +96,25 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     cen_res / res_hbm hold the mode's slim reservoir pack:
       R-MIS:  pos 3K | color 3K | big_w K            (C_res = 7K)
       R-OMIS: pos 3K | color 3K | w_sum K | chosen K (C_res = 8K)
-    (canonical M is the static lane_counts everywhere — never resolved)."""
+    (canonical M is the static lane_counts everywhere — never resolved).
+
+    ``light_static`` = None (the full pack above) or
+    (affine_segments, const_cols): the COMPACT coordinate pack
+      R-MIS:  idxf K | u1 K | u2 K | big_w K           (C_res = 4K)
+      R-OMIS: idxf K | u1 K | u2 K | w_sum K | chosen K (C_res = 5K)
+    with (pos, col) reconstructed in-kernel via light_comps_affine /
+    light_comps_const + light_pos_col (zero gathers; equal to the stored
+    values up to cross-compilation FMA contraction, ~1 ulp) —
+    the dense offset resolve is this kernel's dominant cost and scales
+    with C_res, so resolving coordinates instead of values buys ~40%."""
     bw = _BW
     he, we = _halo_window(radius, bh, bw)
     d1 = d_nbr + 1
     romis = mode == "romis"
     balance = mode == "rmis_balance"
     need_ctx = romis or balance
-    c_res = (8 if romis else 7) * k
+    compact = light_static is not None
+    c_res = mis_pack_planes(mode, k, compact)
 
     i = 0
     # Scalar-prefetch: the per-iteration block index into the (possibly
@@ -210,12 +229,36 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
                 [nbr_ctx_ref[18 * d + p] for p in range(16)]
                 + [nbr_ctx_ref[18 * d + 17]], shin_n))
 
+    def _raw(d, c):
+        return cen_res_ref[c] if d == 0 else res_rs[d - 1, c]
+
+    if compact:
+        affine_segments, const_cols = light_static
+        # Reconstruct every sample's (pos, col) ONCE from its coordinate
+        # record. Empty reservoirs (stat == 0: nothing ever won the race)
+        # store zero coordinates; zero pos/col to match the full pack's
+        # never-selected init values exactly.
+        _samples = []
+        for d in range(d1):
+            for lane in range(k):
+                idxf = _raw(d, lane)
+                u1 = _raw(d, k + lane)
+                u2 = _raw(d, 2 * k + lane)
+                live = _raw(d, 3 * k + lane) > 0.0
+                if affine_segments is not None:
+                    comps = light_comps_affine(affine_segments, idxf)
+                else:
+                    comps = light_comps_const(const_cols)
+                pos, col = light_pos_col(comps, u1, u2)
+                _samples.append((
+                    tuple(jnp.where(live, v, 0.0) for v in pos),
+                    tuple(jnp.where(live, v, 0.0) for v in col)))
+
     def sample_planes(d, lane):
         """(pos3, col3) of sample (d, lane); d = 0 is self."""
-        if d == 0:
-            get = lambda c: cen_res_ref[c]
-        else:
-            get = lambda c: res_rs[d - 1, c]
+        if compact:
+            return _samples[d * k + lane]
+        get = lambda c: _raw(d, c)
         pos = tuple(get(3 * lane + c) for c in range(3))
         col = tuple(get(3 * k + 3 * lane + c) for c in range(3))
         return pos, col
@@ -223,8 +266,11 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     def stat_planes(d, lane):
         """Per-mode reservoir stats of (d, lane): big_w (R-MIS) or
         (w_sum, chosen_w) (R-OMIS)."""
-        get = (lambda c: cen_res_ref[c]) if d == 0 \
-            else (lambda c: res_rs[d - 1, c])
+        get = lambda c: _raw(d, c)
+        if compact:
+            if romis:
+                return get(3 * k + lane), get(4 * k + lane)
+            return get(3 * k + lane)
         if romis:
             return get(6 * k + lane), get(7 * k + lane)
         return get(6 * k + lane)
@@ -372,6 +418,14 @@ def pack_mis_reservoirs(res, romis: bool) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=0)
 
 
+def mis_pack_planes(mode: str, k: int, compact: bool) -> int:
+    """Per-iteration reservoir pack planes C_res for ``mode``:
+    full pack 7K/8K (rmis/romis), compact coordinate pack 4K/5K."""
+    if compact:
+        return (5 if mode == "romis" else 4) * k
+    return (8 if mode == "romis" else 7) * k
+
+
 def mis_pick_bh(h: int, mode: str) -> int:
     """The sweep kernel's tile height for ``mode`` (callers need it to
     pre-pad the shared halo stack for batched-iteration calls)."""
@@ -406,6 +460,8 @@ def mis_iteration_pallas(
     alphas: jnp.ndarray = None,  # [3*D1, H, W] (progressive R-OMIS)
     it_block: int = 0,  # which per-iteration block of res_planes to use
     res_pad=None,  # precomputed pad_halo(res_planes, ...) (batched calls)
+    lights=None,  # LightTable — required for the compact pack
+    compact: bool = False,  # res_planes is the compact coordinate pack
     interpret: bool = False,
 ):
     """One fused R-MIS / R-OMIS iteration. Returns:
@@ -418,13 +474,24 @@ def mis_iteration_pallas(
     (gen_mis_reservoir_planes layout); ``it_block`` picks this call's
     block — the tile fetch and the halo-window DMA both slice the block,
     so the batched layout costs nothing per call. Pass the shared
-    ``res_pad`` (pad_halo of the full stack) to pad once per frame."""
+    ``res_pad`` (pad_halo of the full stack) to pad once per frame.
+
+    ``compact``: res_planes holds the coordinate pack (see _mis_kernel);
+    requires ``lights`` with compact_pack_ok(lights)."""
     if radius > 64:
         raise ValueError("fused MIS sweep supports radius <= 64")
     romis = mode == "romis"
     need_ctx = romis or (mode == "rmis_balance")
     if need_ctx and nbr_ctx is None:
         raise ValueError(f"{mode} needs the pre-resolved nbr_ctx")
+    if compact:
+        if lights is None or not compact_pack_ok(lights):
+            raise ValueError(
+                "compact MIS pack needs an affine/const light table")
+        light_static = (getattr(lights, "affine_segments", None),
+                        getattr(lights, "const_cols", None))
+    else:
+        light_static = None
     progressive = alphas is not None
     d_nbr = offs.shape[0] // 2
     d1 = d_nbr + 1
@@ -435,7 +502,7 @@ def mis_iteration_pallas(
     bh = mis_pick_bh(h, mode)
     he, we = _halo_window(radius, bh)
 
-    c_res = (8 if romis else 7) * k
+    c_res = mis_pack_planes(mode, k, compact)
     if res_planes.shape[0] % c_res:
         raise ValueError("res_planes is not a whole number of pack blocks")
     if res_pad is None:
@@ -497,7 +564,7 @@ def mis_iteration_pallas(
             _mis_kernel, mode, d_nbr, radius, k, geometry.num_tris,
             num_lights, tuple(float(c) for c in lane_counts),
             int(uniform_shin) if uniform_shin else None, progressive,
-            grid[1], grid[0] * grid[1], bh),
+            grid[1], grid[0] * grid[1], bh, light_static),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

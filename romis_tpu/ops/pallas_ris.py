@@ -141,9 +141,93 @@ def _phong_phat(cx, lx, ly, lz, cr, cg, cb):
     return jnp.where(ok, p_hat, 0.0)
 
 
+def light_comps_affine(affine_segments, idxf):
+    """Recompute light columns arithmetically from the affine grid
+    structure (LightTable.affine_segments) — zero gathers, and the exact
+    f32 expression regular_light_grid used to build the rows, so the
+    result is bit-identical to a table fetch of the same index. Columns
+    constant across every segment come back as Python floats. Shared by
+    the RIS candidate loop and the compact-pack MIS sweep reconstruction
+    (ops/pallas_mis.py)."""
+    nseg = len(affine_segments)
+    comps = {}
+    # Columns constant across every segment become Python scalars.
+    for c in range(21):
+        per_seg = [seg[3][c] for seg in affine_segments]
+        if (all(b == 0.0 and cc == 0.0 for _, b, cc in per_seg)
+                and len({a for a, _, _ in per_seg}) == 1):
+            comps[c] = per_seg[0][0]
+    rest = [c for c in range(21) if c not in comps]
+    for si, (s0, n, period, params) in enumerate(affine_segments):
+        local = idxf - float(s0) if s0 else idxf
+        need_xy = any(params[c][1] != 0.0 or params[c][2] != 0.0
+                      for c in rest)
+        if need_xy:
+            # local // period via floats: the +0.5 offset keeps floor
+            # exact under the two roundings (locals are exact ints).
+            xl = jnp.floor((local + 0.5) * (1.0 / period))
+            yl = local - xl * float(period)
+        if nseg > 1:
+            in_seg = (idxf >= float(s0)) & (idxf < float(s0 + n))
+        for c in rest:
+            a, b, cc = params[c]
+            val = a + b * xl if b != 0.0 else a
+            if cc != 0.0:
+                val = val + cc * yl
+            if nseg == 1:
+                comps[c] = val
+            else:
+                prev = comps.get(c, jnp.zeros_like(idxf))
+                comps[c] = jnp.where(in_seg, val, prev)
+    return comps
+
+
+def light_comps_const(const_cols):
+    """All-constant light table (single light or identical rows): every
+    column a Python float."""
+    return {c: const_cols[c] for c in range(21)}
+
+
+def light_pos_col(comps, u1, u2):
+    """(pos3, col3) of the point sample (u1, u2) on the light described by
+    ``comps`` (column dict from light_comps_affine / light_comps_const /
+    a table fetch): position = v0 + u1*e01 + u2*e02, color = bilerp of
+    the four corner colors. Constant-corner bilerps collapse to the
+    constant (single-color lights — e.g. the nightclub grid)."""
+    plane = lambda i: comps[i]
+    lx = plane(0) + u1 * plane(3) + u2 * plane(6)
+    ly = plane(1) + u1 * plane(4) + u2 * plane(7)
+    lz = plane(2) + u1 * plane(5) + u2 * plane(8)
+    one_m_u = 1.0 - u1
+    one_m_v = 1.0 - u2
+
+    def bilerp(a, b, c, d):
+        corners = [plane(x) for x in (a, b, c, d)]
+        if (all(isinstance(x, float) for x in corners)
+                and len(set(corners)) == 1):
+            return corners[0]
+        return ((corners[0] * one_m_u + corners[1] * u1) * one_m_v
+                + (corners[2] * one_m_u + corners[3] * u1) * u2)
+
+    cr = bilerp(9, 12, 15, 18)
+    cg = bilerp(10, 13, 16, 19)
+    cb = bilerp(11, 14, 17, 20)
+    return (lx, ly, lz), (cr, cg, cb)
+
+
+def compact_pack_ok(lights) -> bool:
+    """True when the MIS sweep can reconstruct (pos, col) from a compact
+    (light index, u1, u2) record with zero in-kernel table gathers: the
+    table is an affine grid or fully constant."""
+    if getattr(lights, "affine_segments", None) is not None:
+        return True
+    cc = getattr(lights, "const_cols", None)
+    return cc is not None and all(c is not None for c in cc)
+
+
 def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                 const_cols, affine_segments, shin_n, replay: bool,
-                mis_layout, group_k,
+                mis_layout, group_k, compact: bool,
                 seed_ref, ctx_ref, table_t_ref, *out_refs):
     bh, bw = ctx_ref.shape[-2:]
     l_pad = table_t_ref.shape[1]
@@ -200,43 +284,6 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                     comps[c] = const_cols[c]
         return comps
 
-    def synth_comps(idxf):
-        """Recompute light columns arithmetically from the affine grid
-        structure (LightTable.affine_segments) — zero gathers, and the
-        exact f32 expression regular_light_grid used to build the rows,
-        so the result is bit-identical to fetch_comps of the same index."""
-        nseg = len(affine_segments)
-        comps = {}
-        # Columns constant across every segment become Python scalars.
-        for c in range(21):
-            per_seg = [seg[3][c] for seg in affine_segments]
-            if (all(b == 0.0 and cc == 0.0 for _, b, cc in per_seg)
-                    and len({a for a, _, _ in per_seg}) == 1):
-                comps[c] = per_seg[0][0]
-        rest = [c for c in range(21) if c not in comps]
-        for si, (s0, n, period, params) in enumerate(affine_segments):
-            local = idxf - float(s0) if s0 else idxf
-            need_xy = any(params[c][1] != 0.0 or params[c][2] != 0.0
-                          for c in rest)
-            if need_xy:
-                # local // period via floats: the +0.5 offset keeps floor
-                # exact under the two roundings (locals are exact ints).
-                xl = jnp.floor((local + 0.5) * (1.0 / period))
-                yl = local - xl * float(period)
-            if nseg > 1:
-                in_seg = (idxf >= float(s0)) & (idxf < float(s0 + n))
-            for c in rest:
-                a, b, cc = params[c]
-                val = a + b * xl if b != 0.0 else a
-                if cc != 0.0:
-                    val = val + cc * yl
-                if nseg == 1:
-                    comps[c] = val
-                else:
-                    prev = comps.get(c, jnp.zeros((bh, bw), jnp.float32))
-                    comps[c] = jnp.where(in_seg, val, prev)
-        return comps
-
     def candidate(u_idx, u1, u2):
         """One candidate per pixel: light pick + point sample + target PDF
         → (pos3, color3, p_hat, idxf)."""
@@ -250,34 +297,11 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
             # product), kept in f32 for the affine replay.
             idxf = jnp.minimum(jnp.floor(u_idx * num_lights),
                                float(num_lights - 1))
-            comps = synth_comps(idxf)
+            comps = light_comps_affine(affine_segments, idxf)
 
-        def plane(i):
-            return comps[i]
-
-        # position = v0 + u1*e01 + u2*e02
-        lx = plane(0) + u1 * plane(3) + u2 * plane(6)
-        ly = plane(1) + u1 * plane(4) + u2 * plane(7)
-        lz = plane(2) + u1 * plane(5) + u2 * plane(8)
-        # color = bilerp(c0..c3; u1, u2). When all four corners are the SAME
-        # baked constant (single-color lights — the nightclub grid), the
-        # bilerp is that constant: drop the 9 vector FMAs per channel.
-        one_m_u = 1.0 - u1
-        one_m_v = 1.0 - u2
-
-        def bilerp(a, b, c, d):
-            corners = [plane(x) for x in (a, b, c, d)]
-            if (all(isinstance(x, float) for x in corners)
-                    and len(set(corners)) == 1):
-                return corners[0]
-            return ((corners[0] * one_m_u + corners[1] * u1) * one_m_v
-                    + (corners[2] * one_m_u + corners[3] * u1) * u2)
-
-        cr = bilerp(9, 12, 15, 18)
-        cg = bilerp(10, 13, 16, 19)
-        cb = bilerp(11, 14, 17, 20)
-        p_hat = _phong_phat(cx, lx, ly, lz, cr, cg, cb)
-        return (lx, ly, lz), (cr, cg, cb), p_hat, idxf
+        pos, col = light_pos_col(comps, u1, u2)
+        p_hat = _phong_phat(cx, *pos, *col)
+        return pos, col, p_hat, idxf
 
     # Per-lane running state, carried through a ROLLED step loop (the
     # fully unrolled slot loop compiled for minutes under Mosaic once the
@@ -286,6 +310,11 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
     # ops/wrs._lane_layout).
     sk = -(-s_slots // k_lanes)
     n_u = 5 if replay else 4
+    compact_mis = mis_layout is not None and compact
+    # Carry stride per lane: the compact MIS layout races on the sample
+    # COORDINATES (idxf, u1, u2) instead of the reconstructed values —
+    # 3 fewer selected planes per candidate step.
+    stride = 9 if replay else (7 if compact_mis else 10)
     init = []
     for _ in range(k_lanes):
         if replay:
@@ -296,6 +325,10 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
             init += [jnp.zeros((bh, bw), jnp.float32)] * 3
             init += [jnp.full((bh, bw), -jnp.inf)]
             init += [jnp.zeros((bh, bw), jnp.float32)] * 3
+        elif compact_mis:
+            init += [jnp.zeros((bh, bw), jnp.float32),     # w_sum
+                     jnp.full((bh, bw), -jnp.inf)]         # best score
+            init += [jnp.zeros((bh, bw), jnp.float32)] * 5  # idxf u1 u2 w ph
         else:
             init += [jnp.zeros((bh, bw), jnp.float32),     # w_sum
                      jnp.full((bh, bw), -jnp.inf)]         # best score
@@ -326,7 +359,7 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
             # the same distribution (A-ExpJ / exponential clocks).
             e_clock = -jnp.log(jnp.maximum(u_g, 1e-37)) + 1e-37
             score = jnp.where(w > 0.0, w / e_clock, -jnp.inf)
-            o = (9 if replay else 10) * lane
+            o = stride * lane
             upd = score > carry[o + 1]
             carry[o] = carry[o] + w
             carry[o + 1] = jnp.where(upd, score, carry[o + 1])
@@ -342,7 +375,8 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                 for i, v in enumerate((idxf, u_1, u_2)):
                     carry[o + 6 + i] = jnp.where(upd2, v, carry[o + 6 + i])
             else:
-                vals = pos + col + ((w, p_hat))
+                vals = ((idxf, u_1, u_2, w, p_hat) if compact_mis
+                        else pos + col + (w, p_hat))
                 for i, v in enumerate(vals):
                     carry[o + 2 + i] = jnp.where(upd, v, carry[o + 2 + i])
         return tuple(carry)
@@ -357,6 +391,37 @@ def _ris_kernel(s_slots: int, k_lanes: int, num_lights: int, lane_counts,
                 + list(state[o + 6:o + 9])
             for i, v in enumerate(planes):
                 out_refs[lane * 7 + i][...] = v
+        return
+
+    if compact_mis:
+        # COMPACT per-iteration blocks [idxf K | u1 K | u2 K] + [big_w K]
+        # (rmis) or [w_sum K | chosen K] (romis): the sweep kernel
+        # reconstructs (pos, col) bit-exactly via light_comps_affine /
+        # light_comps_const + light_pos_col — 4K/5K resolved planes
+        # instead of 7K/8K (the sweep's dense offset resolve is its
+        # dominant cost, ~26 of 41 ms/iteration at 1080p).
+        out = out_refs[0]
+        romis_l = mis_layout == "romis"
+        kg = group_k
+        c_blk = (5 if romis_l else 4) * kg
+        for lane in range(k_lanes):
+            it, lg = lane // kg, lane % kg
+            o = 7 * lane
+            w_sum_l = state[o]
+            idxf_l, u1_l, u2_l, chosen_l, p_hat_l = state[o + 2:o + 7]
+            base = it * c_blk
+            out[base + lg] = idxf_l
+            out[base + kg + lg] = u1_l
+            out[base + 2 * kg + lg] = u2_l
+            if romis_l:
+                out[base + 3 * kg + lg] = w_sum_l
+                out[base + 4 * kg + lg] = chosen_l
+            else:
+                m = float(lane_counts[lane])
+                cond = p_hat_l > 0.0
+                denom = jnp.where(cond, p_hat_l * m, 1.0)
+                out[base + 3 * kg + lg] = jnp.where(
+                    cond, w_sum_l / denom, 0.0)
         return
 
     if mis_layout is not None:
@@ -449,7 +514,7 @@ def gen_canonical_samples_pallas(
                           tuple(float(c) for c in lane_counts),
                           const_cols, affine_segments,
                           int(uniform_shin) if uniform_shin else None,
-                          False, None, None),
+                          False, None, None, False),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
@@ -494,13 +559,17 @@ def gen_mis_reservoir_planes(
     iterations: int,
     romis: bool,
     uniform_shin: float = None,
+    compact: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched canonical generation for the fused R-MIS / R-OMIS sweep:
     ALL `iterations` x K canonical reservoirs in ONE kernel call
     (K' = iterations*K lanes, per-lane candidate counts = the per-iteration
     _lane_layout counts), emitted directly as per-iteration
-    pack_mis_reservoirs blocks → [iterations * (7|8)K, H, W].
+    pack_mis_reservoirs blocks → [iterations * (7|8)K, H, W] — or, with
+    ``compact``, coordinate blocks [idxf K | u1 K | u2 K | big_w K]
+    (rmis, 4K) / [... | w_sum K | chosen K] (romis, 5K) for scenes whose
+    light table the sweep can reconstruct in-kernel (compact_pack_ok).
 
     Iterations are mutually independent candidate draws — the estimator is
     identical to `iterations` separate gen_canonical_samples_pallas calls
@@ -515,7 +584,7 @@ def gen_mis_reservoir_planes(
     _, lane_counts1, _ = _lane_layout(s, k)
     lane_counts = tuple(float(c) for c in lane_counts1) * iterations
     k_lanes = k * iterations
-    c_blk = (8 if romis else 7) * k
+    c_blk = ((5 if romis else 4) if compact else (8 if romis else 7)) * k
     n_out = iterations * c_blk
 
     packed = pack_ctx(ctx)
@@ -536,7 +605,8 @@ def gen_mis_reservoir_planes(
                           getattr(lights, "const_cols", None),
                           getattr(lights, "affine_segments", None),
                           int(uniform_shin) if uniform_shin else None,
-                          False, "romis" if romis else "rmis", k),
+                          False, "romis" if romis else "rmis", k,
+                          compact),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -597,7 +667,7 @@ def gen_canonical_replay_pallas(
                           getattr(lights, "const_cols", None),
                           getattr(lights, "affine_segments", None),
                           int(uniform_shin) if uniform_shin else None,
-                          True, None, None),
+                          True, None, None, False),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

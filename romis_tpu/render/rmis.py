@@ -131,7 +131,9 @@ def render_rmis(
         from ..ops.pallas_mis import (
             mis_iteration_pallas, pack_mis_reservoirs, resolve_neighbour_ctx,
         )
-        from ..ops.pallas_ris import gen_mis_reservoir_planes
+        from ..ops.pallas_ris import (
+            compact_pack_ok, gen_mis_reservoir_planes,
+        )
         from ..ops.pallas_spatial import pack_center_ctx
         from ..ops.wrs import _lane_layout
 
@@ -153,9 +155,10 @@ def render_rmis(
             # the per-iteration loop below.
             seed = jax.random.key_data(
                 jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
+            compact = compact_pack_ok(lights)
             res_pack = gen_mis_reservoir_planes(
                 seed, ctx, lights, num_lights, features, it_n, romis=False,
-                uniform_shin=ushin)
+                uniform_shin=ushin, compact=compact)
             from ..ops.pallas_mis import mis_pick_bh
             from ..ops.pallas_spatial import pad_halo
 
@@ -166,7 +169,7 @@ def render_rmis(
                 acc = acc + mis_iteration_pallas(
                     cen_ctx, res_pack, offs, geometry, k, radius, mode,
                     num_lights, lane_counts, nbr_ctx=nbr_ctx, it_block=i,
-                    res_pad=res_pad)
+                    res_pad=res_pad, lights=lights, compact=compact)
         else:
             def iteration(acc, it_key):
                 res = gen_canonical_samples(it_key, ctx, lights, num_lights,

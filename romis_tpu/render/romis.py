@@ -182,15 +182,19 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
     batched = not features.initial_samples_visibility_check
     if batched:
         from ..ops.pallas_mis import mis_pick_bh
-        from ..ops.pallas_ris import gen_mis_reservoir_planes
+        from ..ops.pallas_ris import (
+            compact_pack_ok, gen_mis_reservoir_planes,
+        )
         from ..ops.pallas_spatial import pad_halo
 
         seed = jax.random.key_data(
             jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
+        compact = compact_pack_ok(lights)
         res_pack = gen_mis_reservoir_planes(
             seed, ctx, lights, num_lights, features,
             features.max_iterations_mis, romis=True,
-            uniform_shin=getattr(geometry, "uniform_shin", None))
+            uniform_shin=getattr(geometry, "uniform_shin", None),
+            compact=compact)
         res_pad = pad_halo(res_pack, radius,
                            mis_pick_bh(height, "romis"), mode="constant")
 
@@ -204,7 +208,8 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
         if progressive:
             final_colors = final_colors + jnp.sum(alphas, axis=1)
         if batched:
-            res_args = dict(it_block=iteration, res_pad=res_pad)
+            res_args = dict(it_block=iteration, res_pad=res_pad,
+                            lights=lights, compact=compact)
             res_planes = res_pack
         else:
             res = gen_canonical_samples(it_keys[iteration], ctx, lights,

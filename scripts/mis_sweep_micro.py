@@ -42,8 +42,9 @@ def main():
     import __graft_entry__ as ge
     from romis_tpu.core.features import Features
     from romis_tpu.ops.pallas_mis import (
-        mis_iteration_pallas, resolve_neighbour_ctx,
+        mis_iteration_pallas, mis_pack_planes, resolve_neighbour_ctx,
     )
+    from romis_tpu.ops.pallas_ris import compact_pack_ok
     from romis_tpu.ops.wrs import _lane_layout
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "rmis_equal"
@@ -54,17 +55,23 @@ def main():
     d = feats.num_neighbours_to_sample
     radius = feats.spatial_resample_radius
     romis = mode == "romis"
-    c_res = (8 if romis else 7) * k
+    compact = (os.environ.get("MIS_COMPACT", "1") == "1")
+    c_res = mis_pack_planes(mode, k, compact)
     _, lane_counts, _ = _lane_layout(feats.initial_light_samples, k)
 
     scene = ge._flagship_scene()
     geometry = scene.geometry
+    compact = compact and compact_pack_ok(scene.lights)
+    print("compact pack:", compact)
 
     rng = np.random.default_rng(0)
     cen_ctx = jnp.asarray(
         rng.uniform(0.1, 1.0, (18, h, w)).astype(np.float32))
-    res_planes = jnp.asarray(
-        rng.uniform(0.1, 1.0, (c_res, h, w)).astype(np.float32))
+    res_planes = rng.uniform(0.1, 1.0, (c_res, h, w)).astype(np.float32)
+    if compact:
+        res_planes[:k] = np.floor(
+            rng.uniform(0, scene.num_lights, (k, h, w)))
+    res_planes = jnp.asarray(res_planes)
     offs = jnp.asarray(rng.integers(-radius, radius + 1, (2 * d, h, w)),
                        jnp.int32)
     nbr_ctx = None
@@ -78,7 +85,8 @@ def main():
     def sweep(s, cen, res, off, nc):
         out = mis_iteration_pallas(
             cen, res * s, off, geometry, k, radius, mode,
-            scene.num_lights, lane_counts, nbr_ctx=nc)
+            scene.num_lights, lane_counts, nbr_ctx=nc,
+            lights=scene.lights if compact else None, compact=compact)
         return out[0] if isinstance(out, tuple) else out
 
     timed(f"sweep[{mode}]", sweep, cen_ctx, res_planes, offs, nbr_ctx)

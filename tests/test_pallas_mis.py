@@ -339,3 +339,119 @@ def test_mis_iteration_it_block_slices_exactly(setup):
                                it_block=1, **kw)
     want = mis_iteration_pallas(cen, single, offs, scene.geometry, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ===== compact coordinate pack (idxf, u1, u2 + stats) =====
+
+@pytest.fixture(scope="module")
+def grid_setup():
+    """Affine-grid light scene (nightclub, 83 tris) — the compact MIS pack
+    reconstructs (pos, col) from light coordinates in-kernel."""
+    scene = load_prebuilt("cornell_nightclub")
+    h, w = HW
+    cam = make_camera(look_at=(2.57, 1.23, -1.35), rotation_deg=(10.3, 30, 0),
+                      distance=25, fov_deg=30, resolution=HW)
+    rays = generate_rays(cam, h, w)
+    _, ctx = trace_primary(rays, scene.geometry, FEATS)
+    key = jax.random.PRNGKey(11)
+    ny, nx = select_neighbour_indices(key, ctx, h, w, FEATS)
+    return scene, ctx, ny, nx
+
+
+def _full_from_compact(compact, lights, mode, k):
+    """Host-side reconstruction of the FULL pack from the compact
+    coordinate pack, through the SAME jnp helpers the kernel uses (equal
+    up to cross-compilation FMA contraction)."""
+    from romis_tpu.ops.pallas_ris import (
+        light_comps_affine, light_comps_const, light_pos_col,
+    )
+
+    romis = mode == "romis"
+    cc = (5 if romis else 4) * k
+    blocks = []
+    for b in range(compact.shape[0] // cc):
+        blk = compact[b * cc:(b + 1) * cc]
+        pos, col = [], []
+        for lane in range(k):
+            idxf, u1, u2 = blk[lane], blk[k + lane], blk[2 * k + lane]
+            if lights.affine_segments is not None:
+                comps = light_comps_affine(lights.affine_segments, idxf)
+            else:
+                comps = light_comps_const(lights.const_cols)
+            p3, c3 = light_pos_col(comps, u1, u2)
+            live = blk[3 * k + lane] > 0.0
+            pos.append([jnp.where(live, v, 0.0) for v in p3])
+            col.append([jnp.where(live, jnp.asarray(v, jnp.float32), 0.0)
+                        for v in c3])
+        planes = ([p for lane in range(k) for p in pos[lane]]
+                  + [c for lane in range(k) for c in col[lane]]
+                  + [blk[3 * k + lane] for lane in range(k)])
+        if romis:
+            planes += [blk[4 * k + lane] for lane in range(k)]
+        blocks.append(jnp.stack(planes))
+    return jnp.concatenate(blocks, axis=0)
+
+
+@pytest.mark.parametrize("mode", ["rmis_equal", "rmis_balance", "romis"])
+def test_compact_sweep_matches_full(grid_setup, mode):
+    """The sweep on a random compact pack must match the sweep on the
+    reconstructed full pack to f32-reassociation precision (separately
+    compiled programs may contract FMAs differently — measured max rel
+    2.2e-7), with a tiny allowance for visibility flips on rays grazing
+    occluder edges from ulp-different reconstructed positions."""
+    scene, ctx, ny, nx = grid_setup
+    k = FEATS.num_samples_in_reservoir
+    romis = mode == "romis"
+    _, lane_counts, _ = _lane_layout(FEATS.initial_light_samples, k)
+    cen = pack_center_ctx(ctx)
+    offs = _mis_offsets(ny, nx)
+    radius = FEATS.spatial_resample_radius
+    nbr_ctx = (resolve_neighbour_ctx(cen, offs, radius)
+               if mode != "rmis_equal" else None)
+
+    h, w = HW
+    rng = np.random.default_rng(5)
+    cc = (5 if romis else 4) * k
+    compact = rng.uniform(0.0, 1.0, (cc, h, w)).astype(np.float32)
+    compact[:k] = np.floor(
+        rng.uniform(0, scene.num_lights, (k, h, w))).astype(np.float32)
+    # ~20% empty reservoirs (stat = 0) — reconstruction must zero those.
+    compact[3 * k:4 * k] *= rng.uniform(0, 1, (k, h, w)) > 0.2
+    compact = jnp.asarray(compact)
+
+    full = jax.jit(_full_from_compact, static_argnums=(2, 3))(
+        compact, scene.lights, mode, k)
+    kw = dict(k=k, radius=radius, mode=mode, num_lights=scene.num_lights,
+              lane_counts=lane_counts, nbr_ctx=nbr_ctx, interpret=True)
+    got = mis_iteration_pallas(cen, compact, offs, scene.geometry,
+                               lights=scene.lights, compact=True, **kw)
+    want = mis_iteration_pallas(cen, full, offs, scene.geometry, **kw)
+    if not isinstance(got, tuple):
+        got, want = (got,), (want,)
+    for g, wv in zip(got, want):
+        # rtol: measured max rel 2.2e-7 (rmis); the R-OMIS colvec
+        # reciprocals amplify ulp noise near (w_sum - chosen) cancellation
+        # to ~3e-5.
+        _compare(g, wv, max_flip_frac=0.002, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("romis", [False, True])
+def test_compact_ris_emit_reconstructs_full(grid_setup, romis):
+    """gen_mis_reservoir_planes(compact=True) host-reconstructed must
+    bit-match the full emit of the same call (interpret mode: the PRNG
+    draws are identical across the two calls)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from romis_tpu.ops.pallas_ris import gen_mis_reservoir_planes
+
+    scene, ctx, ny, nx = grid_setup
+    its = 2
+    kw = dict(interpret=pltpu.InterpretParams())
+    full = gen_mis_reservoir_planes(0, ctx, scene.lights, scene.num_lights,
+                                    FEATS, its, romis=romis, **kw)
+    comp = gen_mis_reservoir_planes(0, ctx, scene.lights, scene.num_lights,
+                                    FEATS, its, romis=romis, compact=True,
+                                    **kw)
+    mode = "romis" if romis else "rmis_equal"
+    recon = jax.jit(_full_from_compact, static_argnums=(2, 3))(
+        comp, scene.lights, mode, FEATS.num_samples_in_reservoir)
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(full))
