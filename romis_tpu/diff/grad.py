@@ -135,3 +135,64 @@ def make_grad_fn(geometry, lights, num_lights, height, width, features):
                              num_lights, height, width, features, prev)
 
     return jax.value_and_grad(loss)
+
+
+# ---------------------------------------------------------------------------
+# R-MIS / R-OMIS gradients
+# ---------------------------------------------------------------------------
+#
+# The MIS estimators (render.cpp:64-119 renderRMIS, :121-265 renderROMIS)
+# differentiate through their XLA formulations — the same
+# fused_resampling=False contract as ReSTIR (Features docstring): the
+# VJP-less sweep/RIS/halo-gather kernels are gated off, neighbour selection
+# and visibility are detached (discrete decisions / boolean outputs —
+# exactly zero gradient), and everything else (canonical RIS weights, the
+# colvec sweep, the α Cholesky solve, Phong shading) is differentiated
+# exactly. Per-iteration jax.checkpoint in render_rmis/render_romis bounds
+# the backward's residual memory to one iteration.
+
+
+def render_mis_with_params(
+    params: SceneParams,
+    key,
+    cam: CameraParams,
+    geometry,
+    lights,
+    num_lights: int,
+    height: int,
+    width: int,
+    features: Features,
+):
+    """Forward R-MIS or R-OMIS render (selected by features.ray_trace_mode)
+    with ``params`` substituted into the scene, on the differentiable path."""
+    from ..core.features import RayTraceMode
+    from ..render.rmis import render_rmis
+    from ..render.romis import render_romis
+
+    geometry, lights = apply_params(geometry, lights, params)
+    features = features.replace(fused_resampling=False)
+    if features.ray_trace_mode == RayTraceMode.RMIS:
+        return render_rmis(key, cam, geometry, lights, num_lights,
+                           height, width, features)
+    return render_romis(key, cam, geometry, lights, num_lights,
+                        height, width, features)
+
+
+def mis_l2_image_loss(
+    params: SceneParams, target, key, cam, geometry, lights,
+    num_lights: int, height: int, width: int, features: Features,
+):
+    """Mean-squared error of an R-MIS/R-OMIS render against a target."""
+    img = render_mis_with_params(params, key, cam, geometry, lights,
+                                 num_lights, height, width, features)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_mis_grad_fn(geometry, lights, num_lights, height, width, features):
+    """jit-ready value_and_grad of the MIS L2 loss w.r.t. SceneParams."""
+
+    def loss(params, target, key, cam):
+        return mis_l2_image_loss(params, target, key, cam, geometry, lights,
+                                 num_lights, height, width, features)
+
+    return jax.value_and_grad(loss)

@@ -42,6 +42,13 @@ import os
 # static; NEVER set in production (outputs are wrong by construction).
 _ABLATE = frozenset(
     s for s in os.environ.get("MIS_ABLATE", "").split(",") if s)
+if _ABLATE:  # pragma: no cover - profiling-only escape hatch
+    import warnings
+
+    warnings.warn(
+        f"MIS_ABLATE={sorted(_ABLATE)} is set: sweep kernels will SKIP "
+        "stages and produce wrong-by-construction renders (profiling only)",
+        stacklevel=2)
 
 import jax
 import jax.numpy as jnp

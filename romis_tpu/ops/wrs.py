@@ -49,7 +49,14 @@ def visibility(ctx_position, sample_pos, geometry) -> jnp.ndarray:
 
     ctx_position: [3, H, W] (broadcasts); sample_pos: [..., 3, H, W].
     Returns bool [..., H, W] (True = visible). Coincident pairs are visible.
+
+    Inputs are stop-gradded: the boolean output has zero gradient by
+    definition, and detaching keeps gradient paths (diff/grad.py — the MIS
+    estimators differentiate the XLA formulation, which calls this) off the
+    VJP-less Pallas any-hit kernel (pallas_trace.pallas_any).
     """
+    ctx_position = jax.lax.stop_gradient(ctx_position)
+    sample_pos = jax.lax.stop_gradient(sample_pos)
     to = sample_pos - ctx_position
     dist = vnorm(to)
     d = to / e(jnp.maximum(dist, 1e-20))
@@ -543,7 +550,10 @@ def combine_unbiased(
 def visibility_from(from_position, sample_pos, geometry) -> jnp.ndarray:
     """visibility() generalised to per-sample origins (neighbour surface
     points in the unbiased Z-count, reservoir.cpp:90).
-    from_position [..., 3, H, W] broadcastable against sample_pos."""
+    from_position [..., 3, H, W] broadcastable against sample_pos.
+    Inputs stop-gradded (see visibility)."""
+    from_position = jax.lax.stop_gradient(from_position)
+    sample_pos = jax.lax.stop_gradient(sample_pos)
     to = sample_pos - from_position
     dist = vnorm(to)
     d = to / e(jnp.maximum(dist, 1e-20))

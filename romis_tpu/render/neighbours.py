@@ -145,7 +145,13 @@ def select_neighbour_indices(
     self first. Reference: generateResampleIndicesGrid
     (neighbour_selection.cpp:107-122). With ``geometry`` carrying
     use_pallas on TPU, similarity strategies run the fused box-scan kernel
-    (ops/pallas_nbrsel.py, ~3x the XLA streamed top-D)."""
+    (ops/pallas_nbrsel.py, ~3x the XLA streamed top-D).
+
+    ``ctx`` is stop-gradded: the output is integer coordinates (zero
+    gradient by definition — neighbour choice is a discrete decision, the
+    same stop-grad-the-selection treatment as WRS winners, SURVEY §7.1), and
+    detaching keeps the fused box-scan kernel usable on gradient paths."""
+    ctx = jax.lax.stop_gradient(ctx)
     d = features.num_neighbours_to_sample
     radius = features.spatial_resample_radius
     rows = jnp.arange(height, dtype=jnp.int32)[:, None]

@@ -189,7 +189,10 @@ def render_rmis(
             color = exposure_tone_mapping(color, features)
         return jnp.moveaxis(color, 0, -1)
 
-    fused = (features.fused_spatial_gather
+    # The exact-offset halo gather kernel has no VJP: gradient paths set
+    # fused_resampling=False (diff/grad.py) and take the XLA gather, whose
+    # VJP is a scatter-add.
+    fused = (features.fused_spatial_gather and features.fused_resampling
              and getattr(geometry, "use_pallas", False))
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
 
@@ -229,7 +232,12 @@ def render_rmis(
 
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)
-    acc, _ = jax.lax.scan(iteration, jnp.zeros((3, height, width)), it_keys)
+    # Checkpointed body: reverse-mode then stores one [3, H, W] carry per
+    # iteration and recomputes the candidate scan + neighbourhood sweep —
+    # without it the J·D1·K target_pdf residuals of every iteration stay
+    # live simultaneously (diff/grad.py render_mis_with_params).
+    acc, _ = jax.lax.scan(jax.checkpoint(iteration),
+                          jnp.zeros((3, height, width)), it_keys)
 
     color = acc / features.max_iterations_mis
     if features.enable_tone_mapping:

@@ -275,7 +275,9 @@ def render_romis(
                                    num_lights, height, width, features,
                                    return_alphas)
 
-    fused = (features.fused_spatial_gather
+    # VJP-less halo gather kernel gated off on gradient paths (see
+    # render_rmis).
+    fused = (features.fused_spatial_gather and features.fused_resampling
              and getattr(geometry, "use_pallas", False))
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,
                                      fused)  # fields [D1, ..., H, W]
@@ -294,22 +296,18 @@ def render_romis(
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)
 
-    for iteration in range(features.max_iterations_mis):
-        res = gen_canonical_samples(it_keys[iteration], ctx, lights,
-                                    num_lights, geometry, features)
+    def iteration_update(it_key, ctx_, nbhd_ctx_, lights_, geometry_,
+                         alphas_):
+        """One iteration's (ΔA, Δb, progressive contribution). Checkpointed
+        below: reverse mode (diff/grad.py render_mis_with_params) then
+        recomputes the candidate scan + J·D1·K colvec sweep instead of
+        keeping every iteration's residuals live."""
+        res = gen_canonical_samples(it_key, ctx_, lights_,
+                                    num_lights, geometry_, features)
         nb = _gather_neighbourhood(res, ny, nx, radius,
                                    fused)  # fields [D1, K, ..., H, W]
 
-        # ===== progressive: refresh α estimates (render.cpp:161-165) =====
-        if (features.use_progressive_romis and iteration >= 1
-                and iteration % features.progressive_update_mod == 0):
-            alphas = solve(a_mat, b_vec)
-        if features.use_progressive_romis:
-            # render.cpp:171-174: the pixelIdx loop adds α(pixelIdx) once per
-            # distribution → Σ_d α_d per iteration.
-            final_colors = final_colors + jnp.sum(alphas, axis=1)
-
-        colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
+        colvec = _colvec_for_samples(nb, nbhd_ctx_, num_lights, features)
         # colvec: [J, D1(d), K, H, W]
 
         # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
@@ -318,10 +316,10 @@ def render_romis(
 
         p_, c_ = nb.pos, nb.color
         rgb = phong_shade_planes(
-            ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+            ctx_, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
             c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
         shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
-        vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
+        vis = visibility(ctx_.position, nb.pos, geometry_)  # [D1, K, H, W]
         f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
 
         # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210)
@@ -344,25 +342,44 @@ def render_romis(
                 v = sum(wf[i, s] * wf[j, s] for s in range(s_n))
                 a_upd[i][j] = v
                 a_upd[j][i] = v
-        a_mat = a_mat + jnp.stack(
-            [jnp.stack(row) for row in a_upd])
-        b_vec = b_vec + jnp.stack([
+        a_delta = jnp.stack([jnp.stack(row) for row in a_upd])
+        b_delta = jnp.stack([
             jnp.stack([sum(ws[j, s] * ff[s, c] for s in range(s_n))
                        for j in range(d1)])
             for c in range(3)])
 
         # ===== progressive per-sample estimate (render.cpp:191-204) =====
+        prog = jnp.zeros((3, height, width))
         if features.use_progressive_romis:
             # sum_alpha_prod[d,k,c] = Σ_j α[c,j]·colvec[j,d,k], unrolled
             # over j for the same layout reason as A/b above.
             sum_alpha_prod = jnp.stack([
-                sum(alphas[c, j][None, None] * colvec[j] for j in range(d1))
+                sum(alphas_[c, j][None, None] * colvec[j] for j in range(d1))
                 for c in range(3)
             ], axis=2)  # [D1, K, 3, H, W]
             sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
             contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
-            final_colors = final_colors + (
-                jnp.sum(contrib, axis=(0, 1)) / total_samples)
+            prog = jnp.sum(contrib, axis=(0, 1)) / total_samples
+        return a_delta, b_delta, prog
+
+    iteration_update = jax.checkpoint(iteration_update)
+
+    for iteration in range(features.max_iterations_mis):
+        # ===== progressive: refresh α estimates (render.cpp:161-165) =====
+        if (features.use_progressive_romis and iteration >= 1
+                and iteration % features.progressive_update_mod == 0):
+            alphas = solve(a_mat, b_vec)
+        if features.use_progressive_romis:
+            # render.cpp:171-174: the pixelIdx loop adds α(pixelIdx) once per
+            # distribution → Σ_d α_d per iteration.
+            final_colors = final_colors + jnp.sum(alphas, axis=1)
+
+        a_delta, b_delta, prog = iteration_update(
+            it_keys[iteration], ctx, nbhd_ctx, lights, geometry, alphas)
+        a_mat = a_mat + a_delta
+        b_vec = b_vec + b_delta
+        if features.use_progressive_romis:
+            final_colors = final_colors + prog
 
     if features.use_progressive_romis:
         color = final_colors / features.max_iterations_mis  # combineToScreen

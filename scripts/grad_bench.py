@@ -71,7 +71,8 @@ def main():
                 return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
         sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
             k_, c_, r_, h, w, ge_, features)
-        if not features.surrogate_resampling_grad:
+        if (not features.surrogate_resampling_grad
+                or features.unbiased_combination):
             sp = jax.checkpoint(sp)  # mirrors render_restir_frame
         res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geo)
         if stage in ("spatial", "ris_notemporal"):

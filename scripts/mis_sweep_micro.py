@@ -56,12 +56,14 @@ def main():
     radius = feats.spatial_resample_radius
     romis = mode == "romis"
     compact = (os.environ.get("MIS_COMPACT", "1") == "1")
-    c_res = mis_pack_planes(mode, k, compact)
     _, lane_counts, _ = _lane_layout(feats.initial_light_samples, k)
 
     scene = ge._flagship_scene()
     geometry = scene.geometry
     compact = compact and compact_pack_ok(scene.lights)
+    # Plane count must reflect the DOWNGRADED compact flag (a scene without
+    # an affine/const light table packs 7K/8K planes, not 4K/5K).
+    c_res = mis_pack_planes(mode, k, compact)
     print("compact pack:", compact)
 
     rng = np.random.default_rng(0)
