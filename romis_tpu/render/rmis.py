@@ -114,20 +114,29 @@ def render_rmis(
     height: int,
     width: int,
     features: Features,
+    inject=None,  # (ny, nx, [Reservoirs per iteration]) — golden tests
 ):
-    """Full R-MIS render → tone-mapped image [H, W, 3]."""
+    """Full R-MIS render → tone-mapped image [H, W, 3].
+
+    ``inject`` feeds explicit neighbour coordinates and per-iteration
+    canonical reservoirs so the float64 oracle test
+    (tests/test_golden_mis.py) can assert per-pixel exactness of everything
+    downstream; it forces the XLA formulation."""
     d1 = features.num_neighbours_to_sample + 1
 
     rays = generate_rays(cam, height, width)
     _, ctx = trace_primary(rays, geometry, features)
-    ny, nx = select_neighbour_indices(
-        jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
-        geometry,
-    )  # [D1, H, W] each
+    if inject is not None:
+        ny, nx = inject[0], inject[1]
+    else:
+        ny, nx = select_neighbour_indices(
+            jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width,
+            features, geometry,
+        )  # [D1, H, W] each
     radius = features.spatial_resample_radius
     it_n = features.max_iterations_mis
 
-    if _fused_mis_sweep(features, geometry):
+    if inject is None and _fused_mis_sweep(features, geometry):
         from ..ops.pallas_mis import (
             mis_iteration_pallas, pack_mis_reservoirs, resolve_neighbour_ctx,
         )
@@ -198,9 +207,7 @@ def render_rmis(
 
     equal_w = 1.0 / d1
 
-    def iteration(acc, it_key):
-        res = gen_canonical_samples(it_key, ctx, lights, num_lights,
-                                    geometry, features)
+    def iteration_body(acc, res):
         nb = _gather_neighbourhood(res, ny, nx, radius, fused)  # [D1, K, ...]
 
         # Shading + visibility of every neighbourhood sample at the
@@ -228,16 +235,27 @@ def render_rmis(
         # leading axis is D1, not K.
         k_lanes = nb.pos.shape[1]
         contrib = e(mis_w * nb.big_w) * sample_color / k_lanes
-        return acc + contrib.sum(axis=(0, 1)), None
+        return acc + contrib.sum(axis=(0, 1))
 
-    it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
-                               features.max_iterations_mis)
-    # Checkpointed body: reverse-mode then stores one [3, H, W] carry per
-    # iteration and recomputes the candidate scan + neighbourhood sweep —
-    # without it the J·D1·K target_pdf residuals of every iteration stay
-    # live simultaneously (diff/grad.py render_mis_with_params).
-    acc, _ = jax.lax.scan(jax.checkpoint(iteration),
-                          jnp.zeros((3, height, width)), it_keys)
+    if inject is not None:
+        acc = jnp.zeros((3, height, width))
+        for res in inject[2]:
+            acc = iteration_body(acc, res)
+    else:
+        def iteration(acc, it_key):
+            res = gen_canonical_samples(it_key, ctx, lights, num_lights,
+                                        geometry, features)
+            return iteration_body(acc, res), None
+
+        it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
+                                   features.max_iterations_mis)
+        # Checkpointed body: reverse-mode then stores one [3, H, W] carry
+        # per iteration and recomputes the candidate scan + neighbourhood
+        # sweep — without it the J·D1·K target_pdf residuals of every
+        # iteration stay live simultaneously (diff/grad.py
+        # render_mis_with_params).
+        acc, _ = jax.lax.scan(jax.checkpoint(iteration),
+                              jnp.zeros((3, height, width)), it_keys)
 
     color = acc / features.max_iterations_mis
     if features.enable_tone_mapping:

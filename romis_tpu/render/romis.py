@@ -253,24 +253,32 @@ def render_romis(
     width: int,
     features: Features,
     return_alphas: bool = False,
+    inject=None,  # (ny, nx, [Reservoirs per iteration]) — golden tests
 ):
     """Full R-OMIS render → tone-mapped image [H, W, 3] (and optionally the
     per-technique α images [D1, H, W, 3] — the reference's visualiseAlphas
-    data, render_utils.cpp:189-243)."""
+    data, render_utils.cpp:189-243).
+
+    ``inject`` feeds explicit neighbour coordinates and per-iteration
+    canonical reservoirs (tests/test_golden_mis.py float64 oracle); it
+    forces the XLA formulation."""
     d1 = features.num_neighbours_to_sample + 1
     k_lanes = features.num_samples_in_reservoir
 
     rays = generate_rays(cam, height, width)
     _, ctx = trace_primary(rays, geometry, features)
-    ny, nx = select_neighbour_indices(
-        jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width, features,
-        geometry,
-    )
+    if inject is not None:
+        ny, nx = inject[0], inject[1]
+    else:
+        ny, nx = select_neighbour_indices(
+            jax.random.fold_in(key, PH_NEIGHBOURS), ctx, height, width,
+            features, geometry,
+        )
     radius = features.spatial_resample_radius
 
     from .rmis import _fused_mis_sweep
 
-    if _fused_mis_sweep(features, geometry):
+    if inject is None and _fused_mis_sweep(features, geometry):
         return _render_romis_fused(key, ctx, ny, nx, geometry, lights,
                                    num_lights, height, width, features,
                                    return_alphas)
@@ -297,13 +305,14 @@ def render_romis(
                                features.max_iterations_mis)
 
     def iteration_update(it_key, ctx_, nbhd_ctx_, lights_, geometry_,
-                         alphas_):
+                         alphas_, res=None):
         """One iteration's (ΔA, Δb, progressive contribution). Checkpointed
         below: reverse mode (diff/grad.py render_mis_with_params) then
         recomputes the candidate scan + J·D1·K colvec sweep instead of
         keeping every iteration's residuals live."""
-        res = gen_canonical_samples(it_key, ctx_, lights_,
-                                    num_lights, geometry_, features)
+        if res is None:
+            res = gen_canonical_samples(it_key, ctx_, lights_,
+                                        num_lights, geometry_, features)
         nb = _gather_neighbourhood(res, ny, nx, radius,
                                    fused)  # fields [D1, K, ..., H, W]
 
@@ -375,7 +384,8 @@ def render_romis(
             final_colors = final_colors + jnp.sum(alphas, axis=1)
 
         a_delta, b_delta, prog = iteration_update(
-            it_keys[iteration], ctx, nbhd_ctx, lights, geometry, alphas)
+            it_keys[iteration], ctx, nbhd_ctx, lights, geometry, alphas,
+            res=None if inject is None else inject[2][iteration])
         a_mat = a_mat + a_delta
         b_vec = b_vec + b_delta
         if features.use_progressive_romis:
