@@ -93,6 +93,43 @@ def _mis_offsets(ny, nx):
          nx[1:].astype(jnp.int32) - cols[None]], axis=0)
 
 
+def rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry, features: Features):
+    """One R-MIS iteration's pixel contribution from pre-gathered
+    neighbourhood reservoirs ``nb`` (fields [D1, K, ..., H, W]) →
+    Σ_{d,k} mis_w · W · vis·shade / K as [3, H, W] (render.cpp:92-112).
+    ``nbhd_ctx`` (fields [D1, ..., H, W]) is only read in balance mode.
+    Shared by render_rmis and the sharded row-band path (parallel/mis.py),
+    which gather the neighbourhood differently (global coords vs local
+    halo-extended bands)."""
+    # Shading + visibility of every neighbourhood sample at the receiver.
+    # Planes-form phong (see phong_shade_planes) keeps the [D1, K, ...]
+    # evaluation free of [.., 3, H, W] temporaries.
+    from ..ops.shading import phong_shade_planes
+
+    d1 = nb.pos.shape[0]
+    p_, c_ = nb.pos, nb.color
+    rgb = phong_shade_planes(
+        ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+        c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
+    shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
+    vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
+    sample_color = jnp.where(e(vis), shade, 0.0)
+
+    if features.mis_weight_rmis == MISWeight.BALANCE:
+        recv_p_hat = target_pdf(ctx, nb.pos, nb.color, features)
+        mis_w = balance_heuristic_weights(nbhd_ctx, nb.pos, nb.color,
+                                          recv_p_hat, features)
+    else:
+        mis_w = jnp.full(nb.big_w.shape, 1.0 / d1)
+
+    # ÷ K per reservoir (render.cpp:107: outputSamples.size()). NB: nb.k
+    # would be wrong here — after the neighbourhood gather the leading axis
+    # is D1, not K.
+    k_lanes = nb.pos.shape[1]
+    contrib = e(mis_w * nb.big_w) * sample_color / k_lanes
+    return contrib.sum(axis=(0, 1))
+
+
 def _fused_mis_sweep(features: Features, geometry) -> bool:
     """Dispatch gate for the fused per-iteration sweep kernels
     (ops/pallas_mis.py): fused paths enabled, soup fits SMEM (in-kernel
@@ -205,37 +242,10 @@ def render_rmis(
              and getattr(geometry, "use_pallas", False))
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
 
-    equal_w = 1.0 / d1
-
     def iteration_body(acc, res):
         nb = _gather_neighbourhood(res, ny, nx, radius, fused)  # [D1, K, ...]
-
-        # Shading + visibility of every neighbourhood sample at the
-        # receiver. Planes-form phong (see phong_shade_planes) keeps the
-        # [D1, K, ...] evaluation free of [.., 3, H, W] temporaries.
-        from ..ops.shading import phong_shade_planes
-
-        p_, c_ = nb.pos, nb.color
-        rgb = phong_shade_planes(
-            ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
-            c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
-        shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
-        vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
-        sample_color = jnp.where(e(vis), shade, 0.0)
-
-        if features.mis_weight_rmis == MISWeight.BALANCE:
-            recv_p_hat = target_pdf(ctx, nb.pos, nb.color, features)
-            mis_w = balance_heuristic_weights(nbhd_ctx, nb.pos, nb.color,
-                                              recv_p_hat, features)
-        else:
-            mis_w = jnp.full(nb.big_w.shape, equal_w)
-
-        # ÷ K per reservoir (render.cpp:107: outputSamples.size()). NB:
-        # nb.k would be wrong here — after the neighbourhood gather the
-        # leading axis is D1, not K.
-        k_lanes = nb.pos.shape[1]
-        contrib = e(mis_w * nb.big_w) * sample_color / k_lanes
-        return acc + contrib.sum(axis=(0, 1))
+        return acc + rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry,
+                                         features)
 
     if inject is not None:
         acc = jnp.zeros((3, height, width))

@@ -143,6 +143,75 @@ def solve_alpha(a_mat, b_vec):
     return jnp.where(jnp.isfinite(alpha), alpha, 0.0)
 
 
+def romis_iteration_terms(ctx, nbhd_ctx, nb, alphas, num_lights, geometry,
+                          features: Features):
+    """One R-OMIS iteration's (ΔA [D1, D1, H, W], Δb [3, D1, H, W],
+    progressive contribution [3, H, W]) from pre-gathered neighbourhood
+    reservoirs ``nb`` (fields [D1, K, ..., H, W]) — render.cpp:168-219.
+    ``alphas`` [3, D1, H, W] is only read in progressive mode. Shared by
+    render_romis and the sharded row-band path (parallel/mis.py)."""
+    d1 = nb.pos.shape[0]
+    k_lanes = nb.pos.shape[1]
+    height, width = nb.pos.shape[-2:]
+    total_samples = float(d1 * k_lanes)
+    frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
+
+    colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
+    # colvec: [J, D1(d), K, H, W]
+
+    # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
+    # via the planes-form phong (no [.., 3, H, W] temporaries).
+    from ..ops.shading import phong_shade_planes
+
+    p_, c_ = nb.pos, nb.color
+    rgb = phong_shade_planes(
+        ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+        c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
+    shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
+    vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
+    f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
+
+    # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210)
+    scale = 1.0 / (FLT_MIN + float(k_lanes)
+                   * jnp.sum(colvec, axis=0))  # [D1, K, H, W]
+    w_hat = colvec * scale[None]  # [J, D1, K, H, W]
+
+    # A += Σ_{d,k} ŵ ŵᵀ, b_c += Σ_{d,k} scale·ŵ·f_c
+    # (render.cpp:212-218). UNROLLED plane sums, not einsums: XLA
+    # lowers the (h, w)-batched dots with hw-major layouts whose {J, J}
+    # minor dims pad to the (8,128) vreg tile — a 28x memory expansion
+    # that OOMs at 1080p (and converts through bf16).
+    wf = w_hat.reshape(d1, d1 * k_lanes, height, width)
+    ws = (w_hat * scale[None]).reshape(d1, d1 * k_lanes, height, width)
+    ff = f.reshape(d1 * k_lanes, 3, height, width)
+    s_n = d1 * k_lanes
+    a_upd = [[None] * d1 for _ in range(d1)]
+    for i in range(d1):
+        for j in range(i, d1):
+            v = sum(wf[i, s] * wf[j, s] for s in range(s_n))
+            a_upd[i][j] = v
+            a_upd[j][i] = v
+    a_delta = jnp.stack([jnp.stack(row) for row in a_upd])
+    b_delta = jnp.stack([
+        jnp.stack([sum(ws[j, s] * ff[s, c] for s in range(s_n))
+                   for j in range(d1)])
+        for c in range(3)])
+
+    # ===== progressive per-sample estimate (render.cpp:191-204) =====
+    prog = jnp.zeros((3, height, width))
+    if features.use_progressive_romis:
+        # sum_alpha_prod[d,k,c] = Σ_j α[c,j]·colvec[j,d,k], unrolled
+        # over j for the same layout reason as A/b above.
+        sum_alpha_prod = jnp.stack([
+            sum(alphas[c, j][None, None] * colvec[j] for j in range(d1))
+            for c in range(3)
+        ], axis=2)  # [D1, K, 3, H, W]
+        sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
+        contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
+        prog = jnp.sum(contrib, axis=(0, 1)) / total_samples
+    return a_delta, b_delta, prog
+
+
 def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
                         height, width, features, return_alphas):
     """R-OMIS through the fused per-iteration sweep kernel
@@ -296,8 +365,6 @@ def render_romis(
     # ===== progressive-only state (render.cpp:144-151) =====
     final_colors = jnp.zeros((3, height, width))
     alphas = jnp.zeros((3, d1, height, width))
-    total_samples = float(d1 * k_lanes)
-    frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
 
     solve = solve_alpha
 
@@ -315,61 +382,8 @@ def render_romis(
                                         num_lights, geometry_, features)
         nb = _gather_neighbourhood(res, ny, nx, radius,
                                    fused)  # fields [D1, K, ..., H, W]
-
-        colvec = _colvec_for_samples(nb, nbhd_ctx_, num_lights, features)
-        # colvec: [J, D1(d), K, H, W]
-
-        # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
-        # via the planes-form phong (no [.., 3, H, W] temporaries).
-        from ..ops.shading import phong_shade_planes
-
-        p_, c_ = nb.pos, nb.color
-        rgb = phong_shade_planes(
-            ctx_, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
-            c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
-        shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
-        vis = visibility(ctx_.position, nb.pos, geometry_)  # [D1, K, H, W]
-        f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
-
-        # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210)
-        scale = 1.0 / (FLT_MIN + float(k_lanes)
-                       * jnp.sum(colvec, axis=0))  # [D1, K, H, W]
-        w_hat = colvec * scale[None]  # [J, D1, K, H, W]
-
-        # A += Σ_{d,k} ŵ ŵᵀ, b_c += Σ_{d,k} scale·ŵ·f_c
-        # (render.cpp:212-218). UNROLLED plane sums, not einsums: XLA
-        # lowers the (h, w)-batched dots with hw-major layouts whose {J, J}
-        # minor dims pad to the (8,128) vreg tile — a 28x memory expansion
-        # that OOMs at 1080p (and converts through bf16).
-        wf = w_hat.reshape(d1, d1 * k_lanes, height, width)
-        ws = (w_hat * scale[None]).reshape(d1, d1 * k_lanes, height, width)
-        ff = f.reshape(d1 * k_lanes, 3, height, width)
-        s_n = d1 * k_lanes
-        a_upd = [[None] * d1 for _ in range(d1)]
-        for i in range(d1):
-            for j in range(i, d1):
-                v = sum(wf[i, s] * wf[j, s] for s in range(s_n))
-                a_upd[i][j] = v
-                a_upd[j][i] = v
-        a_delta = jnp.stack([jnp.stack(row) for row in a_upd])
-        b_delta = jnp.stack([
-            jnp.stack([sum(ws[j, s] * ff[s, c] for s in range(s_n))
-                       for j in range(d1)])
-            for c in range(3)])
-
-        # ===== progressive per-sample estimate (render.cpp:191-204) =====
-        prog = jnp.zeros((3, height, width))
-        if features.use_progressive_romis:
-            # sum_alpha_prod[d,k,c] = Σ_j α[c,j]·colvec[j,d,k], unrolled
-            # over j for the same layout reason as A/b above.
-            sum_alpha_prod = jnp.stack([
-                sum(alphas_[c, j][None, None] * colvec[j] for j in range(d1))
-                for c in range(3)
-            ], axis=2)  # [D1, K, 3, H, W]
-            sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
-            contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
-            prog = jnp.sum(contrib, axis=(0, 1)) / total_samples
-        return a_delta, b_delta, prog
+        return romis_iteration_terms(ctx_, nbhd_ctx_, nb, alphas_,
+                                     num_lights, geometry_, features)
 
     iteration_update = jax.checkpoint(iteration_update)
 

@@ -1,0 +1,182 @@
+"""Sharded R-MIS / R-OMIS parity on the 8-virtual-device CPU mesh.
+
+VERDICT r3 item 2: the MIS estimators meet the mesh. With injected neighbour
+coordinates + per-iteration canonical reservoirs (the golden-test hooks) the
+row-band shard_map path must reproduce the single-device XLA formulation —
+BITWISE for equal-weight R-MIS; for balance/R-OMIS the two compiled programs
+reassociate the Σ_j reductions by ulps (band shapes differ), so those assert
+to a few ulps (and through the α solve, see in-test notes). Every halo row
+must resolve to the values a global gather would fetch — halo bugs produce
+boundary-localized errors orders of magnitude above these bands. Without
+injection, the sharded RNG stream differs (per-device folded keys); a
+statistical check keeps that path honest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from romis_tpu.core.camera import make_camera, generate_rays
+from romis_tpu.core.features import Features, MISWeight, RayTraceMode
+from romis_tpu.ops.wrs import gen_canonical_samples
+from romis_tpu.parallel.mesh import make_mesh
+from romis_tpu.parallel.mis import render_rmis_sharded, render_romis_sharded
+from romis_tpu.render.restir import trace_primary
+from romis_tpu.render.rmis import render_rmis
+from romis_tpu.render.romis import render_romis
+from romis_tpu.scene.scene import load_prebuilt
+
+H, W = 32, 16
+D = 2
+K = 2
+RADIUS = 2
+ITERS = 2
+
+FEATS = Features(initial_light_samples=8, num_samples_in_reservoir=K,
+                 num_neighbours_to_sample=D, spatial_resample_radius=RADIUS,
+                 max_iterations_mis=ITERS)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = load_prebuilt("cornell_box_parallelogram_light")
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=(H, W))
+    key = jax.random.PRNGKey(3)
+
+    rays = generate_rays(cam, H, W)
+    _, ctx = trace_primary(rays, scene.geometry, FEATS)
+
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    offs = jax.random.randint(jax.random.fold_in(key, 1),
+                              (2, D, H, W), -RADIUS, RADIUS + 1)
+    ny = jnp.concatenate([jnp.broadcast_to(rows, (1, H, W)),
+                          jnp.clip(rows[None] + offs[0], 0, H - 1)], axis=0)
+    nx = jnp.concatenate([jnp.broadcast_to(cols, (1, H, W)),
+                          jnp.clip(cols[None] + offs[1], 0, W - 1)], axis=0)
+    res_list = [
+        gen_canonical_samples(jax.random.fold_in(key, 10 + i), ctx,
+                              scene.lights, scene.num_lights,
+                              scene.geometry, FEATS)
+        for i in range(ITERS)
+    ]
+    return dict(scene=scene, cam=cam, key=key,
+                inject=(ny, nx, res_list), mesh=make_mesh())
+
+
+# Both sides are jitted: the comparison is between two compiled programs
+# (the un-jitted eager path reassociates differently op-by-op and is also
+# pathologically slow on the 8-device mesh).
+
+
+@pytest.mark.parametrize("weight", [MISWeight.EQUAL, MISWeight.BALANCE],
+                         ids=["equal", "balance"])
+def test_rmis_sharded_bitwise_parity(setup, weight):
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.RMIS,
+                          mis_weight_rmis=weight)
+    nl = s["scene"].num_lights
+    single = np.asarray(jax.jit(lambda k, c, g, li, inj: render_rmis(
+        k, c, g, li, nl, H, W, feats, inject=inj))(
+        s["key"], s["cam"], s["scene"].geometry, s["scene"].lights,
+        s["inject"]))
+    sharded = np.asarray(jax.jit(lambda k, c, g, li, inj: render_rmis_sharded(
+        k, c, g, li, nl, H, W, feats, s["mesh"], inject=inj))(
+        s["key"], s["cam"], s["scene"].geometry, s["scene"].lights,
+        s["inject"]))
+    if weight == MISWeight.EQUAL:
+        np.testing.assert_array_equal(single, sharded)
+    else:
+        # Balance mode's Σ_j p̂_j denominator fuses/reassociates differently
+        # between the two compiled programs (the band shapes differ) —
+        # measured at ≤2 ulp on ~10% of pixels, NOT localized to halo rows
+        # (a halo bug would be). Assert to a few ulps.
+        np.testing.assert_allclose(single, sharded, rtol=0, atol=5e-7)
+
+
+@pytest.mark.parametrize("progressive", [False, True],
+                         ids=["direct", "progressive"])
+def test_romis_sharded_bitwise_parity(setup, progressive):
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.ROMIS,
+                          use_progressive_romis=progressive)
+    nl = s["scene"].num_lights
+    single, al_single = jax.jit(lambda k, c, g, li, inj: render_romis(
+        k, c, g, li, nl, H, W, feats, return_alphas=True, inject=inj))(
+        s["key"], s["cam"], s["scene"].geometry, s["scene"].lights,
+        s["inject"])
+    sharded, al_sharded = jax.jit(
+        lambda k, c, g, li, inj: render_romis_sharded(
+            k, c, g, li, nl, H, W, feats, s["mesh"], return_alphas=True,
+            inject=inj))(
+        s["key"], s["cam"], s["scene"].geometry, s["scene"].lights,
+        s["inject"])
+    # The colvec sweep reassociates by ulps between the two compiled
+    # programs (band shapes differ) and the near-singular α solve /
+    # progressive sum_frac divisions amplify that (see test_golden_mis.py
+    # conditioning note) — so α is compared through the estimator output
+    # Σ_d α_d (= the image) at an amplification-sized band. The float64
+    # parity test below pins the same two programs at 1e-10, so any real
+    # halo/indexing bug cannot hide in this band.
+    atol = 1e-2 if progressive else 1e-3  # progressive adds 1/sum_frac amp
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=2e-3, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(al_single).sum(axis=0), np.asarray(al_sharded).sum(axis=0),
+        rtol=2e-3, atol=atol)
+
+
+@pytest.mark.parametrize("progressive", [False, True],
+                         ids=["direct", "progressive"])
+def test_romis_sharded_parity_float64(setup, progressive):
+    """The decisive halo-correctness check: in float64 the reassociation
+    noise that the α solve amplifies in f32 vanishes, and the sharded and
+    single-device programs must agree to ~1e-10 (measured 8.5e-14). An
+    indexing/halo bug is dtype-independent and would fail this hard."""
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.ROMIS,
+                          use_progressive_romis=progressive)
+    nl = s["scene"].num_lights
+
+    with jax.enable_x64():
+        def to64(x):
+            return jax.tree.map(
+                lambda a: a.astype(np.float64)
+                if hasattr(a, "dtype") and a.dtype == np.float32 else a, x)
+
+        geo, li = to64(s["scene"].geometry), to64(s["scene"].lights)
+        cam, inj = to64(s["cam"]), to64(s["inject"])
+        single = np.asarray(jax.jit(lambda k, c, g, l_, i_: render_romis(
+            k, c, g, l_, nl, H, W, feats, inject=i_))(
+            s["key"], cam, geo, li, inj))
+        sharded = np.asarray(jax.jit(
+            lambda k, c, g, l_, i_: render_romis_sharded(
+                k, c, g, l_, nl, H, W, feats, s["mesh"], inject=i_))(
+            s["key"], cam, geo, li, inj))
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=1e-10)
+
+
+def test_rmis_sharded_statistics_without_injection(setup):
+    """Production path (per-device RNG): estimator mean must match the
+    single-device render within a few percent over averaged frames."""
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.RMIS,
+                          enable_tone_mapping=False,
+                          initial_light_samples=16, max_iterations_mis=4)
+    nl = s["scene"].num_lights
+    f_single = jax.jit(lambda k: render_rmis(
+        k, s["cam"], s["scene"].geometry, s["scene"].lights, nl, H, W,
+        feats))
+    f_sharded = jax.jit(lambda k: render_rmis_sharded(
+        k, s["cam"], s["scene"].geometry, s["scene"].lights, nl, H, W,
+        feats, s["mesh"]))
+
+    n = 6
+    singles = np.mean([np.asarray(f_single(jax.random.PRNGKey(100 + i)))
+                       for i in range(n)], axis=0)
+    shardeds = np.mean([np.asarray(f_sharded(jax.random.PRNGKey(200 + i)))
+                        for i in range(n)], axis=0)
+    ms, mh = float(singles.mean()), float(shardeds.mean())
+    assert abs(ms - mh) <= 0.08 * max(ms, mh), (ms, mh)
