@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", help="output directory")
     p.add_argument("--format", choices=["png", "bmp", "npy"], default="png")
+    p.add_argument("--checkpoint", metavar="PATH",
+                   help="checkpoint file prefix for --frames runs: resume "
+                        "from it when present, save the final temporal "
+                        "state to it after rendering (bit-identical resume, "
+                        "io/checkpoint.py)")
     p.add_argument("--platform", help="force a JAX platform (e.g. cpu)")
     p.add_argument("--save-alphas", action="store_true",
                    help="R-OMIS: save per-technique alpha visualisations")
@@ -122,18 +127,67 @@ def main(argv=None):
                 static_argnums=(4, 5, 6, 7, 8),
             )(cam_key, cam, scene.geometry, scene.lights, scene.num_lights,
               h, w, cfg.features, True)
-            alphas = np.asarray(alphas)
+            alphas = np.asarray(alphas)  # [D1, H, W, 3]
+            import os
+
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            # One image per (technique, color channel) — orange = positive,
+            # blue = negative α, scaled by |α| (visualiseAlphas,
+            # render_utils.cpp:189-243: glm::mix(zero, pureColor, ±α)).
             for d in range(alphas.shape[0]):
-                # Orange = positive, blue = negative α (visualiseAlphas
-                # colors, render_utils.cpp:194-196).
-                a = alphas[d]
-                pos = np.clip(a, 0, 1)
-                neg = np.clip(-a, 0, 1)
-                vis = (pos[..., :1] * [[1.0, 0.5, 0.0]]
-                       + neg[..., :1] * [[0.0, 0.5, 1.0]])
-                write_image(
-                    f"{cfg.output_dir}/{scene.name}_{stamp}_cam_{i}"
-                    f"_alpha_{d}.{args.format}", vis)
+                for c, cname in enumerate(("Red", "Green", "Blue")):
+                    a = alphas[d][..., c:c + 1]  # [H, W, 1]
+                    vis = np.where(a > 0.0, a * [[1.0, 0.5, 0.0]],
+                                   -a * [[0.0, 0.5, 1.0]])
+                    write_image(
+                        f"{cfg.output_dir}/{scene.name}_{stamp}_cam_{i}"
+                        f"_alpha_{d}_{cname}.{args.format}",
+                        np.clip(vis, 0.0, 1.0))
+        elif (cfg.features.ray_trace_mode == RayTraceMode.RESTIR
+              and args.frames > 1):
+            # Multi-frame temporal runs go through render_animation's
+            # lax.scan (one compiled program) with optional bit-exact
+            # checkpoint resume. Per-frame keys are fold_in(cam_key, f) —
+            # independent of the frame count, so a resumed run consumes
+            # exactly the keys the uninterrupted run would.
+            import os
+
+            import jax.numpy as jnp
+
+            from .io.checkpoint import load_checkpoint, save_checkpoint
+            from .render.animation import render_animation
+            from .render.restir import initial_temporal_state
+
+            frames = args.frames
+            start = 0
+            prev = initial_temporal_state(
+                h, w, cfg.features.num_samples_in_reservoir, cam)
+            ckpt = f"{args.checkpoint}_cam{i}.npz" if args.checkpoint \
+                else None
+            if ckpt and os.path.exists(ckpt):
+                prev, _, last_done = load_checkpoint(ckpt, prev)
+                start = last_done + 1
+                print(f"resumed {ckpt} at frame {start}", file=sys.stderr)
+            if start >= frames:
+                raise SystemExit(
+                    f"checkpoint {ckpt} already covers frame {start - 1}; "
+                    f"raise --frames above {frames} to continue the run")
+            keys = jnp.stack([jax.random.fold_in(cam_key, f)
+                              for f in range(start, frames)])
+            cams_f = jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a[None], (keys.shape[0],) + np.shape(a)), cam)
+            imgs, state = jax.jit(
+                render_animation, static_argnums=(4, 5, 6, 7),
+            )(cam_key, cams_f, scene.geometry, scene.lights,
+              scene.num_lights, h, w, cfg.features, prev, keys)
+            img = imgs[-1]
+            if ckpt:
+                if os.path.dirname(ckpt):
+                    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+                save_checkpoint(ckpt, jax.device_get(state), cam_key,
+                                frames - 1)
+                print(f"checkpoint saved to {ckpt}", file=sys.stderr)
         else:
             for f in range(max(args.frames, 1)):
                 img, state = render_frame(

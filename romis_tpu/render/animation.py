@@ -45,10 +45,16 @@ def render_animation(
     width: int,
     features: Features,
     prev: TemporalState | None = None,
+    keys=None,
 ):
     """Render F temporally-reused frames in one jitted scan.
     Returns (images [F, H, W, 3], final TemporalState). Use
-    ``features.temporal_reprojection=True`` for moving cameras."""
+    ``features.temporal_reprojection=True`` for moving cameras.
+
+    ``keys`` ([F] stacked PRNG keys) overrides the default split of ``key``
+    — checkpoint resume (cli.py --checkpoint) passes the tail of the
+    original run's per-frame keys so a resumed run is bit-identical to an
+    uninterrupted one."""
     n_frames = jax.tree.leaves(cams)[0].shape[0]
     if prev is None:
         cam0 = jax.tree.map(lambda a: a[0], cams)
@@ -62,7 +68,8 @@ def render_animation(
             features, state)
         return state, img
 
-    keys = jax.random.split(key, n_frames)
+    if keys is None:
+        keys = jax.random.split(key, n_frames)
     state, images = jax.lax.scan(body, prev, (keys, cams))
     return images, state
 
