@@ -510,6 +510,7 @@ def combine_unbiased(
     input_ctxs: ShadeCtx,  # fields [R, ..., H, W] — each input's own geometry
     geometry,
     features: Features,
+    gumbel=None,  # pre-drawn [R, K, H, W] race noise (bitwise parity tests)
 ) -> Reservoirs:
     """ReSTIR Algorithm 6 (reference Reservoir::combineUnbiased,
     reservoir.cpp:68-104): same resampling as the biased combine, but the
@@ -526,7 +527,7 @@ def combine_unbiased(
     input is valid, and reduces to the reference for K = 1."""
     w, p_hat = _stream_weights(receiver, inputs, in_mask, features)
     sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
-        key, w, p_hat, inputs, in_mask
+        key, w, p_hat, inputs, in_mask, gumbel
     )
 
     # Z-count: evaluate the K winner samples at every input's geometry.

@@ -31,9 +31,14 @@ def maybe_init_distributed() -> bool:
     call unconditionally: without COORDINATOR_ADDRESS (and outside
     auto-detectable TPU pod environments) it does nothing. On TPU pods with
     full auto-detection (TPU_WORKER_HOSTNAMES etc.) jax.distributed can
-    initialise argument-free; explicit env vars take precedence."""
-    if jax.process_count() > 1:
-        return True  # already initialised
+    initialise argument-free; explicit env vars take precedence.
+
+    NB: must not touch the backend (jax.devices / jax.process_count) before
+    jax.distributed.initialize — backend init pins the single-process
+    topology and initialize() then raises (tests/test_distributed.py
+    exercises this for real with two OS processes)."""
+    if jax.distributed.is_initialized():
+        return True
     addr = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")

@@ -203,7 +203,8 @@ def spatial_pass(
             nbr_ctx, ctx,
         )
         return combine_unbiased(
-            combine_key, ctx, inputs, in_mask, input_ctxs, geometry, features
+            combine_key, ctx, inputs, in_mask, input_ctxs, geometry,
+            features, gumbel
         )
     if features.surrogate_resampling_grad:
         # Winner-replay surrogate for the spatial race (same estimator
