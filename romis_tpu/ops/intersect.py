@@ -193,15 +193,25 @@ def _closest_forward(rays: Rays, geometry):
 
 
 def _reeval_tuv(rays: Rays, geometry, tri):
-    """(t, u, v) of the already-selected triangles, differentiable."""
+    """(t, u, v) of the already-selected triangles, differentiable.
+
+    Vertex fetch rides ONE fused packed-row gather of a freshly packed
+    v0|e1|e2 row table instead of nine per-component XLA gathers — the XLA
+    gathers are HBM-latency-bound (~53 ns/index × 9 × 2M at 1080p) and
+    were the bulk of the 189 ms trace backward (scripts/grad_bench.py
+    trace; now ~33 ms). The [T, 9] pack is a trivially cheap concatenate
+    re-done per call so gradients flow to the LIVE v0/e1/e2 columns (not a
+    possibly stale geometry.tri_rows); the gather's VJP is the one-hot MXU
+    scatter (ops/pallas_scatter.py)."""
+    from .pallas_rows import gather_rows
     from .traverse import _mt_one
-    from ..core.vec import from_table
 
     idx = jnp.maximum(tri, 0)
-    v0 = from_table(geometry.v0, idx)
-    e1 = from_table(geometry.e1, idx)
-    e2 = from_table(geometry.e2, idx)
-    t, u, v, ok = _mt_one(rays.origin, rays.direction, v0, e1, e2)
+    packed = jnp.concatenate(
+        [geometry.v0, geometry.e1, geometry.e2], axis=1)  # [T, 9]
+    rows = gather_rows(packed, idx)  # [9, H, W]
+    t, u, v, ok = _mt_one(rays.origin, rays.direction, rows[0:3], rows[3:6],
+                          rows[6:9])
     valid = tri >= 0
     return (jnp.where(valid, t, jnp.inf), jnp.where(valid, u, 0.0),
             jnp.where(valid, v, 0.0))

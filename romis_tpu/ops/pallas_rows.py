@@ -82,10 +82,21 @@ def _rows_gather_xla(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table [T, C] f32, idx [..., H, W] int32 (in [0, T)) → [C, ..., H, W].
-    TPU dispatches the fused kernel when the table fits VMEM."""
+    TPU dispatches the fused kernel when the table fits VMEM; leading index
+    axes fold into the row axis (rows are independent in the kernel), so
+    K-lane callers like the surrogate-RIS replay tail stay on the kernel
+    path (the XLA fallback's v&g measured 13 ms vs 3 ms per 1080p call)."""
     if (jax.default_backend() == "tpu"
-            and table.shape[0] <= MAX_VMEM_ROWS and idx.ndim == 2):
-        return _rows_gather_pallas(table, idx)
+            and table.shape[0] <= MAX_VMEM_ROWS and idx.ndim >= 2):
+        if idx.ndim == 2:
+            return _rows_gather_pallas(table, idx)
+        lead = idx.shape[:-2]
+        h, w = idx.shape[-2:]
+        n = 1
+        for s in lead:
+            n *= s
+        out = _rows_gather_pallas(table, idx.reshape(n * h, w))
+        return out.reshape((table.shape[1],) + lead + (h, w))
     return _rows_gather_xla(table, idx)
 
 

@@ -354,8 +354,17 @@ def _surrogate_tail(ctx, lights, num_lights, geometry, features,
 def _stream_weights(receiver: ShadeCtx, inputs: Reservoirs, in_mask, features):
     """Per-input-sample resampling weight at the receiver:
     w = p_hat_receiver(y) * W * M (reservoir.cpp:44-52).
-    inputs fields [R, K, ..., H, W]; in_mask [R, H, W] → w, p_hat [R, K, H, W]."""
-    p_hat = target_pdf(receiver, inputs.pos, inputs.color, features)
+    inputs fields [R, K, ..., H, W]; in_mask [R, H, W] → w, p_hat [R, K, H, W].
+
+    Planes-form target_pdf (scalar component planes, not [R, K, 3, H, W]
+    vector broadcasting): the vector-axis form materialises 3-minor
+    temporaries that pad onto the (8, 128) tile — the R·K sweep is the
+    spatial phase's hottest XLA loop (ops/shading.phong_shade_planes
+    docstring; scripts/grad_bench.py spatial)."""
+    p, c = inputs.pos, inputs.color
+    p_hat = target_pdf_planes(
+        receiver, p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :],
+        c[..., 0, :, :], c[..., 1, :, :], c[..., 2, :, :], features)
     w = p_hat * inputs.big_w * inputs.m
     w = jnp.where(in_mask[:, None], w, 0.0)
     return w, p_hat
@@ -471,12 +480,19 @@ def combine_biased_surrogate(
             out = jnp.where(win_b == i, a[i], out)
         return out
 
+    def pdf_planes(pos, color):
+        # Planes-form re-evaluation (see _stream_weights).
+        return target_pdf_planes(
+            receiver, pos[..., 0, :, :], pos[..., 1, :, :],
+            pos[..., 2, :, :], color[..., 0, :, :], color[..., 1, :, :],
+            color[..., 2, :, :], features)
+
     # Differentiable winner re-evaluation (selection is data).
     sel_pos = sel(inputs.pos, win1)
     sel_color = sel(inputs.color, win1)
     sel_big_w = sel(inputs.big_w, win1)
     sel_m = sel(inputs.m, win1)
-    sel_p_hat = target_pdf(receiver, sel_pos, sel_color, features)
+    sel_p_hat = pdf_planes(sel_pos, sel_color)
     # Gate by the detached gathered weight: zero where the winner had w=0
     # (all-masked lane) — matches the exact path's gathered sel_w.
     won = sel(w_d, win1) > 0.0
@@ -487,7 +503,7 @@ def combine_biased_surrogate(
     w_sum_d = jnp.sum(w_d, axis=0)
     pos2 = sel(inputs.pos, win2)
     col2 = sel(inputs.color, win2)
-    w2 = (target_pdf(receiver, pos2, col2, features)
+    w2 = (pdf_planes(pos2, col2)
           * sel(inputs.big_w, win2) * sel(inputs.m, win2))
     w2_d = jax.lax.stop_gradient(w2)
     ratio = jnp.where(w2_d > 0.0,
