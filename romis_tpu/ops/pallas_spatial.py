@@ -940,18 +940,27 @@ def spatial_pass_unbiased_pallas(
         return outs[:, :h, :w]
 
     out, z_phat, p_star, nbr_pos, nbr_mf = (o[:, :h, :w] for o in outs)
-    # Batched any-hit for every (stream, lane) ray: origins = each input's
+    # Z visibility for every (stream, lane) ray: origins = each input's
     # surface point (neighbour positions from the kernel; self = receiver),
     # targets = the winning sample position, visibility() semantics
-    # (ops/wrs.visibility_from / reference utils.cpp:41-56).
-    from .wrs import visibility_from
+    # (ops/wrs.visibility_from / reference utils.cpp:41-56). The fused
+    # shared-origin kernel (pallas_trace.pallas_zcount_occ) serves soups
+    # that fit SMEM; larger scenes batch through the paged-BVH any-hit.
+    from .pallas_trace import fits_pallas, pallas_zcount_occ
+    from .wrs import SHADOW_RAY_EPSILON, visibility_from
 
     win_pos = out[0:3 * k].reshape(k, 3, h, w)  # [K, 3, H, W]
     origins = jnp.concatenate([
         cen_ctx[0:3][None],                      # self [1, 3, H, W]
         nbr_pos.reshape(n_nbr, 3, h, w),         # [R, 3, H, W]
     ])  # [R+1, 3, H, W]
-    vis = visibility_from(origins[:, None], win_pos[None], geometry)
+    if interpret or fits_pallas(geometry):
+        occluded = pallas_zcount_occ(origins, win_pos, geometry,
+                                     eps=SHADOW_RAY_EPSILON,
+                                     interpret=interpret)
+        vis = ~occluded  # [R+1, K, H, W]
+    else:
+        vis = visibility_from(origins[:, None], win_pos[None], geometry)
     # vis: [R+1, K, H, W]; subtract occluded streams' m-terms from Z.
     m_self = res_planes[7 * k:8 * k]  # input (pre-pass) self m, [K, H, W]
     self_term = jnp.where((p_star > 0.0) & ~vis[0], m_self, 0.0)

@@ -545,3 +545,77 @@ def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
     )(trix, aabbs, o, d, tm)
     occ = occ[:, :hh, :ww]
     return occ.reshape(lead + (h, w)) if lead else occ[0]
+
+
+def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
+                   trix_ref, aabb_ref, o_ref, t_ref, occ_ref, occf_scr):
+    for r in range(r_n):
+        ox, oy, oz = o_ref[3 * r], o_ref[3 * r + 1], o_ref[3 * r + 2]
+        rays = []
+        for kk in range(k_n):
+            tox = t_ref[3 * kk] - ox
+            toy = t_ref[3 * kk + 1] - oy
+            toz = t_ref[3 * kk + 2] - oz
+            sq = tox * tox + toy * toy + toz * toz
+            ok = sq > 1e-30
+            dist = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+            dinv = 1.0 / jnp.maximum(dist, 1e-20)
+            # Window (eps, dist) from the UNSHIFTED origin = visibility_from
+            # exactly (origin pushed eps along a unit d shifts t by eps);
+            # dist <= eps collapses the window -> unoccluded, the
+            # coincident-pair escape built in.
+            rays.append((tox * dinv, toy * dinv, toz * dinv, dist))
+        occlusion_shared_origin_into(
+            n_tris, trix_ref, aabb_ref, (ox, oy, oz), rays, eps,
+            occf_scr.at[pl.ds(r * k_n, k_n)])
+    for i in range(r_n * k_n):
+        occ_ref[i] = occf_scr[i] > 0.5
+
+
+def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
+                      interpret: bool = False):
+    """Occlusion of K winner samples from R input-surface origins — the
+    unbiased Z-count visibility rays (reference reservoir.cpp:85-93) in ONE
+    fused kernel. origins [R, 3, H, W], targets [K, 3, H, W] → occluded
+    bool [R, K, H, W], semantics = ops/wrs.visibility_from per ray.
+
+    vs dispatching visibility_from's batched any-hit (R·K separate grid
+    passes): each origin's Möller–Trumbore origin terms (tvec, qvec, e2·q)
+    hoist across its K rays (occlusion_shared_origin_into), directions and
+    t_max are derived in-register instead of materialising [R, K, 3, H, W]
+    planes through HBM, and the triangle columns load once per tile for all
+    R·K tests. Measured 95 → ~35 ms for the 24 rays/pixel of the 1080p
+    vis-check unbiased frame (perf_artifacts.json)."""
+    r_n = origins.shape[0]
+    k_n = targets.shape[0]
+    h, w = origins.shape[-2:]
+    o = origins.reshape(3 * r_n, h, w)
+    t = targets.reshape(3 * k_n, h, w)
+    o, hh, ww = _pad_hw(o, 8, 128)
+    t, _, _ = _pad_hw(t, 8, 128)
+    hp, wp = o.shape[-2:]
+    # 40x128 tiles: 40 divides 1080 (no alignment pad) and measured ~7%
+    # faster than the any-hit kernel's 32x256 for this 12-ray body.
+    bh, bw = min(40, hp), min(128, wp)
+    o, _, _ = _pad_hw(o, bh, bw)
+    t, _, _ = _pad_hw(t, bh, bw)
+    hp, wp = o.shape[-2:]
+
+    trix = _tri_columns(geometry)
+    aabbs = _block_aabbs(geometry, trix)
+    grid = (hp // bh, wp // bw)
+    tile = lambda c: pl.BlockSpec((c, bh, bw), lambda i, j: (0, i, j),
+                                  memory_space=pltpu.VMEM)
+
+    occ = pl.pallas_call(
+        functools.partial(_zcount_kernel, geometry.num_tris, r_n, k_n, eps),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  tile(3 * r_n), tile(3 * k_n)],
+        out_specs=tile(r_n * k_n),
+        out_shape=jax.ShapeDtypeStruct((r_n * k_n, hp, wp), jnp.bool_),
+        scratch_shapes=[pltpu.VMEM((r_n * k_n, bh, bw), jnp.float32)],
+        interpret=interpret,
+    )(trix, aabbs, o, t)
+    return occ[:, :hh, :ww].reshape(r_n, k_n, hh, ww)
