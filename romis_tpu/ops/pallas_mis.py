@@ -95,10 +95,15 @@ def _ctx_dict(planes, shin_n):
 def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
                 num_lights: int, lane_counts, shin_n, progressive: bool,
                 n_tj: int, n_steps: int, bh: int, light_static,
+                ext_vis: bool,
                 *refs):
     """mode: 'rmis_equal' | 'rmis_balance' | 'romis'. refs layout (wrapper
     order): offs[2D], cen_ctx[18], cen_res[C_res], [nbr_ctx[18D]],
-    [alphas[3*D1]], trix SMEM, aabb SMEM, res_hbm, outs..., scratch...
+    [alphas[3*D1]], then trix SMEM + aabb SMEM (in-kernel occlusion) OR
+    vis[D1*K] (``ext_vis``: visibility precomputed outside — the
+    large-scene path, where the soup exceeds SMEM and the D1·K shadow rays
+    batch through the paged BVH between kernel stages), res_hbm, outs...,
+    scratch...
 
     cen_res / res_hbm hold the mode's slim reservoir pack:
       R-MIS:  pos 3K | color 3K | big_w K            (C_res = 7K)
@@ -141,8 +146,12 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     alphas_ref = None
     if romis and progressive:
         alphas_ref = refs[i]; i += 1
-    trix_ref = refs[i]; i += 1
-    aabb_ref = refs[i]; i += 1
+    trix_ref = aabb_ref = vis_ref = None
+    if ext_vis:
+        vis_ref = refs[i]; i += 1
+    else:
+        trix_ref = refs[i]; i += 1
+        aabb_ref = refs[i]; i += 1
     res_hbm = refs[i]; i += 1
     if romis:
         a_ref = refs[i]; i += 1
@@ -283,32 +292,41 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
         return get(6 * k + lane)
 
     # ===== shared-origin visibility for all D1*K rays =====
-    px, py, pz = cx["px"], cx["py"], cx["pz"]
-    rays = []
-    dists = []
-    for d in range(d1):
-        for lane in range(k):
-            (lx, ly, lz), _ = sample_planes(d, lane)
-            tox, toy, toz = lx - px, ly - py, lz - pz
-            sq = tox * tox + toy * toy + toz * toz
-            ok = sq > 1e-30
-            dist = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
-            dinv = 1.0 / jnp.maximum(dist, 1e-20)
-            # Dead-ray diet: invalid receivers never read vis (f = 0).
-            # Measured negative result: extending the gate to dot_nl < 0
-            # and big_w == 0 changed nothing (54.3 ms either way) — the
-            # block culling tests jnp.any(live) per TILE, and per-pixel
-            # deadness doesn't shrink lockstep SIMD work.
-            t_eff = jnp.where(valid, jnp.maximum(dist - _SHADOW_EPS, 0.0),
-                              0.0)
-            rays.append((tox * dinv, toy * dinv, toz * dinv, t_eff))
-            dists.append(dist)
-    if "occlusion" not in _ABLATE:
-        occlusion_shared_origin_into(n_tris, trix_ref, aabb_ref,
-                                     (px, py, pz), rays, _SHADOW_EPS,
-                                     occf_ref)
+    if ext_vis:
+        # Precomputed visibility planes (1.0 = visible), semantics =
+        # ops/wrs.visibility (incl. the coincident-pair escape) — store as
+        # occf so the sweep's read is uniform; dists are not needed.
+        for s in range(d1 * k):
+            occf_ref[s] = 1.0 - vis_ref[s]
+        dists = None
     else:
-        occf_ref[...] = jnp.zeros_like(occf_ref)
+        px, py, pz = cx["px"], cx["py"], cx["pz"]
+        rays = []
+        dists = []
+        for d in range(d1):
+            for lane in range(k):
+                (lx, ly, lz), _ = sample_planes(d, lane)
+                tox, toy, toz = lx - px, ly - py, lz - pz
+                sq = tox * tox + toy * toy + toz * toz
+                ok = sq > 1e-30
+                dist = jnp.where(ok, jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+                dinv = 1.0 / jnp.maximum(dist, 1e-20)
+                # Dead-ray diet: invalid receivers never read vis (f = 0).
+                # Measured negative result: extending the gate to dot_nl < 0
+                # and big_w == 0 changed nothing (54.3 ms either way) — the
+                # block culling tests jnp.any(live) per TILE, and per-pixel
+                # deadness doesn't shrink lockstep SIMD work.
+                t_eff = jnp.where(valid,
+                                  jnp.maximum(dist - _SHADOW_EPS, 0.0),
+                                  0.0)
+                rays.append((tox * dinv, toy * dinv, toz * dinv, t_eff))
+                dists.append(dist)
+        if "occlusion" not in _ABLATE:
+            occlusion_shared_origin_into(n_tris, trix_ref, aabb_ref,
+                                         (px, py, pz), rays, _SHADOW_EPS,
+                                         occf_ref)
+        else:
+            occf_ref[...] = jnp.zeros_like(occf_ref)
 
     # ===== the (j, d, k) sweep =====
     if "sweep" in _ABLATE:
@@ -344,7 +362,9 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
                 sq > 1e-30, jnp.sqrt(jnp.where(sq > 1e-30, sq, 1.0)), 0.0)
             p_recv = jnp.where(ok, p_recv, 0.0)
             s = d * k + lane
-            vis = (occf_ref[s] < 0.5) | (dists[s] <= _SHADOW_EPS)
+            vis = occf_ref[s] < 0.5
+            if not ext_vis:  # the ext planes already carry the escape
+                vis = vis | (dists[s] <= _SHADOW_EPS)
             gate = ok & vis
             f = [jnp.where(gate, c, 0.0) for c in (r, g, b_)]
 
@@ -469,6 +489,7 @@ def mis_iteration_pallas(
     res_pad=None,  # precomputed pad_halo(res_planes, ...) (batched calls)
     lights=None,  # LightTable — required for the compact pack
     compact: bool = False,  # res_planes is the compact coordinate pack
+    ext_vis: jnp.ndarray = None,  # [D1*K, H, W] precomputed visibility
     interpret: bool = False,
 ):
     """One fused R-MIS / R-OMIS iteration. Returns:
@@ -484,7 +505,14 @@ def mis_iteration_pallas(
     ``res_pad`` (pad_halo of the full stack) to pad once per frame.
 
     ``compact``: res_planes holds the coordinate pack (see _mis_kernel);
-    requires ``lights`` with compact_pack_ok(lights)."""
+    requires ``lights`` with compact_pack_ok(lights).
+
+    ``ext_vis``: per-sample visibility planes [D1*K, H, W] (1.0 = visible,
+    s = d*K + lane; ops/wrs.visibility semantics) computed OUTSIDE the
+    kernel — the large-scene mode (reference anyHit serves every estimator
+    at any scene size, embree_interface.cpp:58-62): the soup no longer
+    needs to fit SMEM, the D1·K shadow rays ride whichever backend
+    intersect_any_fast picks (paged BVH above 2048 tris)."""
     if radius > 64:
         raise ValueError("fused MIS sweep supports radius <= 64")
     romis = mode == "romis"
@@ -522,8 +550,9 @@ def mis_iteration_pallas(
     hp, wp = cen_ctx_p.shape[-2:]
     grid = (hp // bh, wp // _BW)
 
-    trix = _tri_columns(geometry)
-    aabbs = _block_aabbs(geometry, trix)
+    if ext_vis is None:
+        trix = _tri_columns(geometry)
+        aabbs = _block_aabbs(geometry, trix)
 
     # Index maps receive the scalar-prefetch ref (the iteration block) as
     # the TRAILING argument.
@@ -541,10 +570,16 @@ def mis_iteration_pallas(
     if progressive:
         in_specs.append(tile(3 * d1))
         inputs.append(alphas_p)
-    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
-                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                 pl.BlockSpec(memory_space=pl.ANY)]
-    inputs += [trix, aabbs, res_pad]
+    if ext_vis is not None:
+        vis_p, _, _ = _pad_hw(ext_vis.astype(jnp.float32), bh, _BW)
+        in_specs.append(tile(d1 * k))
+        inputs.append(vis_p)
+    else:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]
+        inputs += [trix, aabbs]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+    inputs += [res_pad]
 
     if romis:
         n_up = d1 * (d1 + 1) // 2
@@ -571,7 +606,8 @@ def mis_iteration_pallas(
             _mis_kernel, mode, d_nbr, radius, k, geometry.num_tris,
             num_lights, tuple(float(c) for c in lane_counts),
             int(uniform_shin) if uniform_shin else None, progressive,
-            grid[1], grid[0] * grid[1], bh, light_static),
+            grid[1], grid[0] * grid[1], bh, light_static,
+            ext_vis is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -130,16 +130,46 @@ def rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry, features: Features):
     return contrib.sum(axis=(0, 1))
 
 
-def _fused_mis_sweep(features: Features, geometry) -> bool:
-    """Dispatch gate for the fused per-iteration sweep kernels
-    (ops/pallas_mis.py): fused paths enabled, soup fits SMEM (in-kernel
-    occlusion), TPU backend. The kernels have no VJP — gradient paths set
-    fused_resampling=False and take the XLA formulation."""
+def _fused_mis_sweep(features: Features, geometry):
+    """Dispatch mode for the fused per-iteration sweep kernels
+    (ops/pallas_mis.py): "inkernel" when the soup fits SMEM (occlusion
+    traced inside the sweep), "extvis" when the scene instead carries a
+    paged BVH (visibility batched through paged_any between kernel stages
+    — reference anyHit serves every estimator at any scene size,
+    embree_interface.cpp:58-62), None → the XLA formulation. The kernels
+    have no VJP — gradient paths set fused_resampling=False."""
     from ..ops.pallas_trace import fits_pallas
 
-    return (features.fused_resampling and features.fused_spatial_gather
-            and getattr(geometry, "use_pallas", False)
-            and fits_pallas(geometry))
+    if not (features.fused_resampling and features.fused_spatial_gather
+            and getattr(geometry, "use_pallas", False)):
+        return None
+    if fits_pallas(geometry):
+        return "inkernel"
+    if geometry.bvh is not None and jax.default_backend() == "tpu":
+        from ..ops.pallas_bvh import paged_fits
+
+        if paged_fits(geometry.bvh.paged):
+            return "extvis"
+    return None
+
+
+def mis_ext_vis(ctx, pos_planes, offs, radius: int, geometry, k: int):
+    """Visibility planes [D1*K, H, W] for the sweep's ``ext_vis`` mode:
+    resolve every neighbour's sample positions through the per-pixel
+    offsets (exact-offset halo gather), then trace all D1·K shadow rays
+    from the receiver in one batch (paged any-hit above 2048 tris).
+    ``pos_planes`` = the iteration block's pos planes [3K, H, W]
+    (lane-major, component-minor — pack_mis_reservoirs order)."""
+    from ..ops.pallas_spatial import halo_offset_gather
+
+    d = offs.shape[0] // 2
+    h, w = ctx.depth_t.shape[-2:]
+    nbr_pos = halo_offset_gather(pos_planes, offs[:d], offs[d:], radius,
+                                 skip_absent=False)  # [D, 3K, H, W]
+    targets = jnp.concatenate([pos_planes[None], nbr_pos])  # [D1, 3K, ...]
+    targets = targets.reshape(d + 1, k, 3, h, w)
+    vis = visibility(ctx.position, targets, geometry)  # [D1, K, H, W]
+    return vis.reshape((d + 1) * k, h, w).astype(jnp.float32)
 
 
 def render_rmis(
@@ -173,9 +203,12 @@ def render_rmis(
     radius = features.spatial_resample_radius
     it_n = features.max_iterations_mis
 
-    if inject is None and _fused_mis_sweep(features, geometry):
+    sweep_mode = None if inject is not None else _fused_mis_sweep(
+        features, geometry)
+    if sweep_mode:
         from ..ops.pallas_mis import (
-            mis_iteration_pallas, pack_mis_reservoirs, resolve_neighbour_ctx,
+            mis_iteration_pallas, mis_pack_planes, pack_mis_reservoirs,
+            resolve_neighbour_ctx,
         )
         from ..ops.pallas_ris import (
             compact_pack_ok, gen_mis_reservoir_planes,
@@ -192,6 +225,7 @@ def render_rmis(
         nbr_ctx = (resolve_neighbour_ctx(cen_ctx, offs, radius)
                    if balance else None)
         ushin = getattr(geometry, "uniform_shin", None)
+        extvis = sweep_mode == "extvis"
 
         if not features.initial_samples_visibility_check:
             # All it_n iterations' canonical reservoirs in ONE batched RIS
@@ -201,29 +235,39 @@ def render_rmis(
             # the per-iteration loop below.
             seed = jax.random.key_data(
                 jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
-            compact = compact_pack_ok(lights)
+            # The ext-vis path needs stored sample POSITIONS for its ray
+            # batch — the compact coordinate pack is in-kernel-only.
+            compact = compact_pack_ok(lights) and not extvis
             res_pack = gen_mis_reservoir_planes(
                 seed, ctx, lights, num_lights, features, it_n, romis=False,
                 uniform_shin=ushin, compact=compact)
             from ..ops.pallas_mis import mis_pick_bh
             from ..ops.pallas_spatial import pad_halo
 
+            c_res = mis_pack_planes(mode, k, compact)
             res_pad = pad_halo(res_pack, radius,
                                mis_pick_bh(height, mode), mode="constant")
             acc = jnp.zeros((3, height, width))
             for i in range(it_n):
+                ext = mis_ext_vis(
+                    ctx, res_pack[i * c_res:i * c_res + 3 * k], offs,
+                    radius, geometry, k) if extvis else None
                 acc = acc + mis_iteration_pallas(
                     cen_ctx, res_pack, offs, geometry, k, radius, mode,
                     num_lights, lane_counts, nbr_ctx=nbr_ctx, it_block=i,
-                    res_pad=res_pad, lights=lights, compact=compact)
+                    res_pad=res_pad, lights=lights, compact=compact,
+                    ext_vis=ext)
         else:
             def iteration(acc, it_key):
                 res = gen_canonical_samples(it_key, ctx, lights, num_lights,
                                             geometry, features)
+                pack = pack_mis_reservoirs(res, romis=False)
+                ext = mis_ext_vis(ctx, pack[:3 * k], offs, radius,
+                                  geometry, k) if extvis else None
                 contrib = mis_iteration_pallas(
-                    cen_ctx, pack_mis_reservoirs(res, romis=False), offs,
+                    cen_ctx, pack, offs,
                     geometry, k, radius, mode,
-                    num_lights, lane_counts, nbr_ctx=nbr_ctx)
+                    num_lights, lane_counts, nbr_ctx=nbr_ctx, ext_vis=ext)
                 return acc + contrib, None
 
             it_keys = jax.random.split(

@@ -225,7 +225,7 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
     )
     from ..ops.pallas_spatial import pack_center_ctx
     from ..ops.wrs import _lane_layout
-    from .rmis import PH_ITER, _mis_offsets
+    from .rmis import PH_ITER, _fused_mis_sweep, _mis_offsets, mis_ext_vis
 
     d1 = features.num_neighbours_to_sample + 1
     k_lanes = features.num_samples_in_reservoir
@@ -235,6 +235,7 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
     offs = _mis_offsets(ny, nx)
     nbr_ctx = resolve_neighbour_ctx(cen_ctx, offs, radius)
     progressive = features.use_progressive_romis
+    extvis = _fused_mis_sweep(features, geometry) == "extvis"
 
     n_up = d1 * (d1 + 1) // 2
     a_up = jnp.zeros((n_up, height, width))
@@ -258,7 +259,7 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
 
         seed = jax.random.key_data(
             jax.random.fold_in(key, PH_ITER)).astype(jnp.int32).sum()
-        compact = compact_pack_ok(lights)
+        compact = compact_pack_ok(lights) and not extvis
         res_pack = gen_mis_reservoir_planes(
             seed, ctx, lights, num_lights, features,
             features.max_iterations_mis, romis=True,
@@ -280,11 +281,24 @@ def _render_romis_fused(key, ctx, ny, nx, geometry, lights, num_lights,
             res_args = dict(it_block=iteration, res_pad=res_pad,
                             lights=lights, compact=compact)
             res_planes = res_pack
+            if extvis:
+                from ..ops.pallas_mis import mis_pack_planes
+
+                c_res = mis_pack_planes("romis", k_lanes, compact)
+                res_args["ext_vis"] = mis_ext_vis(
+                    ctx,
+                    res_pack[iteration * c_res:
+                             iteration * c_res + 3 * k_lanes],
+                    offs, radius, geometry, k_lanes)
         else:
             res = gen_canonical_samples(it_keys[iteration], ctx, lights,
                                         num_lights, geometry, features)
             res_args = {}
             res_planes = pack_mis_reservoirs(res, romis=True)
+            if extvis:
+                res_args["ext_vis"] = mis_ext_vis(
+                    ctx, res_planes[:3 * k_lanes], offs, radius, geometry,
+                    k_lanes)
         outs = mis_iteration_pallas(
             cen_ctx, res_planes, offs, geometry,
             k_lanes, radius, "romis", num_lights, lane_counts,

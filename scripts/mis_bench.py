@@ -38,8 +38,22 @@ def main():
     res_s = os.environ.get("RMIS_RES", "1080x1920")
     h, w = (int(x) for x in res_s.split("x"))
     reps = int(os.environ.get("RMIS_REPS", "4"))
-    scene = ge._flagship_scene()
-    cam = ge._flagship_camera(h, w)
+    if os.environ.get("RMIS_SCENE", "").startswith("monkey"):
+        # Large-scene MIS (config 7): monkey_field NxN through the paged
+        # BVH — the sweep kernels run in ext_vis mode (visibility batched
+        # through paged_any, ops/pallas_mis.py).
+        from romis_tpu.core.camera import make_camera
+        from romis_tpu.ops.bvh import with_bvh
+        from romis_tpu.scene.scene import load_monkey_field
+
+        n = int(os.environ.get("RMIS_SCENE", "monkey5")[6:] or 5)
+        scene = load_monkey_field(n)
+        scene.geometry = with_bvh(scene.geometry).replace(use_pallas=True)
+        cam = make_camera(look_at=(0, 0, 0), rotation_deg=(25, 30, 0),
+                          distance=11.0, fov_deg=50, resolution=(h, w))
+    else:
+        scene = ge._flagship_scene()
+        cam = ge._flagship_camera(h, w)
 
     modes = {
         "rmis_equal": Features(ray_trace_mode=RayTraceMode.RMIS),
