@@ -238,16 +238,36 @@ def _closest_bwd(res, cots):
 closest_hit_diff.defvjp(_closest_fwd, _closest_bwd)
 
 
-def intersect_any_fast(origins, dirs, t_max, geometry) -> jnp.ndarray:
-    """Occlusion query routed through the fastest backend (boolean output —
-    no gradients by construction, matching the stop-grad visibility
-    semantics)."""
+def _any_fast_impl(origins, dirs, t_max, geometry):
     if geometry.bvh is None and geometry.use_pallas:
         from .pallas_trace import fits_pallas, pallas_any
 
         if fits_pallas(geometry):
             return pallas_any(origins, dirs, t_max, geometry)
     return intersect_any(origins, dirs, t_max, geometry)
+
+
+@jax.custom_jvp
+def _any_fast_f32(origins, dirs, t_max, geometry):
+    return _any_fast_impl(origins, dirs, t_max, geometry).astype(jnp.float32)
+
+
+@_any_fast_f32.defjvp
+def _any_fast_f32_jvp(primals, tangents):
+    # Occlusion is a step function: derivative identically zero. The formal
+    # rule matters under jax.checkpoint — remat's jvp_jaxpr INSTANTIATES
+    # zero tangents as real zeros, so the upstream stop_gradients alone no
+    # longer keep reverse-mode off the VJP-less any-hit kernels
+    # (diff/grad.py render_mis_with_params hit this).
+    out = _any_fast_impl(*primals).astype(jnp.float32)
+    return out, jnp.zeros_like(out)
+
+
+def intersect_any_fast(origins, dirs, t_max, geometry) -> jnp.ndarray:
+    """Occlusion query routed through the fastest backend (boolean output —
+    gradients are identically zero via a custom_jvp, matching the stop-grad
+    visibility semantics)."""
+    return _any_fast_f32(origins, dirs, t_max, geometry) > 0.5
 
 
 def make_hit_record(rays: Rays, geometry, t, tri, u, v) -> HitRecord:

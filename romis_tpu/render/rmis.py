@@ -23,7 +23,7 @@ from ..core.vec import e
 from ..ops.shading import exposure_tone_mapping, phong_shade, target_pdf
 from ..ops.wrs import gen_canonical_samples, visibility
 from .neighbours import select_neighbour_indices
-from .restir import gather_image, trace_primary
+from .restir import trace_primary
 
 PH_NEIGHBOURS = 11
 PH_ITER = 12
@@ -33,28 +33,31 @@ FLT_MIN = 1.17549435e-38  # matches the reference's FLT_MIN denominators
 
 def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
     """Gather a pixel-field pytree at coords [D1, H, W] → fields
-    [D1, ..., H, W]. With ``fused`` (TPU), the tree is packed into planes
-    and fetched by the exact-offset halo kernel
+    [D1, ..., H, W]. With ``fused`` (TPU), the packed planes are fetched by
+    the exact-offset halo kernel
     (ops/pallas_spatial.halo_offset_gather_pallas) instead of XLA's
-    HBM-latency-bound gather; ``radius`` bounds |index - pixel|."""
-    if fused and radius is not None and jax.default_backend() == "tpu":
-        return _gather_neighbourhood_fused(tree, ny, nx, radius)
-    return jax.tree.map(lambda a: gather_image(a, ny, nx), tree)
+    HBM-latency-bound gather; ``radius`` bounds |index - pixel|.
 
-
-def _gather_neighbourhood_fused(tree, ny, nx, radius):
-    from ..ops.pallas_spatial import halo_offset_gather
-
+    Both paths gather PACKED [C, H, W] component planes: gathering the raw
+    [K, 3, H, W] leaves makes XLA's gather (and its scatter transpose on
+    gradient paths) pick a [..., K, 3]-minor layout whose size-(2,3) tile
+    pads 42.7x — an 11.9 GB temp that OOM'd the 1080p R-MIS gradient
+    step (scripts/mis_grad_bench.py)."""
     leaves, treedef = jax.tree.flatten(tree)
     h, w = ny.shape[-2:]
     flats = [l.reshape((-1, h, w)) for l in leaves]
     packed = jnp.concatenate([f.astype(jnp.float32) for f in flats], axis=0)
-    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
-    dy = ny.astype(jnp.int32) - rows
-    dx = nx.astype(jnp.int32) - cols
-    g = halo_offset_gather(packed, dy, dx, radius,
-                           skip_absent=False)  # [D, C, H, W]
+    if fused and radius is not None and jax.default_backend() == "tpu":
+        from ..ops.pallas_spatial import halo_offset_gather
+
+        rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+        dy = ny.astype(jnp.int32) - rows
+        dx = nx.astype(jnp.int32) - cols
+        g = halo_offset_gather(packed, dy, dx, radius,
+                               skip_absent=False)  # [D, C, H, W]
+    else:
+        g = jnp.moveaxis(packed[:, ny, nx], 1, 0)  # [D, C, H, W]
     out, pos = [], 0
     for leaf, flat in zip(leaves, flats):
         cnt = flat.shape[0]
@@ -279,10 +282,11 @@ def render_rmis(
             color = exposure_tone_mapping(color, features)
         return jnp.moveaxis(color, 0, -1)
 
-    # The exact-offset halo gather kernel has no VJP: gradient paths set
-    # fused_resampling=False (diff/grad.py) and take the XLA gather, whose
-    # VJP is a scatter-add.
-    fused = (features.fused_spatial_gather and features.fused_resampling
+    # halo_offset_gather carries a custom VJP (Pallas forward, segment_sum
+    # backward) so the fused gather serves gradient paths too — 1080p
+    # R-MIS gradient step 14.7 -> 10.8 s vs the XLA per-pixel gather (the
+    # remaining cost is the segment_sum gather-backward + phong sweeps).
+    fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
 

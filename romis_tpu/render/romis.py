@@ -37,7 +37,7 @@ from ..core.vec import e
 from ..ops.shading import exposure_tone_mapping, phong_shade, target_pdf
 from ..ops.wrs import gen_canonical_samples, visibility
 from .neighbours import select_neighbour_indices
-from .restir import gather_image, trace_primary
+from .restir import trace_primary
 from .rmis import FLT_MIN, PH_ITER, PH_NEIGHBOURS, _gather_neighbourhood
 
 
@@ -366,9 +366,9 @@ def render_romis(
                                    num_lights, height, width, features,
                                    return_alphas)
 
-    # VJP-less halo gather kernel gated off on gradient paths (see
-    # render_rmis).
-    fused = (features.fused_spatial_gather and features.fused_resampling
+    # halo_offset_gather carries a custom VJP — fused gather serves
+    # gradient paths too (see render_rmis).
+    fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
     nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,
                                      fused)  # fields [D1, ..., H, W]
