@@ -46,7 +46,11 @@ def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
     leaves, treedef = jax.tree.flatten(tree)
     h, w = ny.shape[-2:]
     flats = [l.reshape((-1, h, w)) for l in leaves]
-    packed = jnp.concatenate([f.astype(jnp.float32) for f in flats], axis=0)
+    # Pack in the widest float dtype present (f32 normally; f64 under
+    # jax.enable_x64 — the float64 parity tests run this path and a hard
+    # f32 cast would silently downcast them).
+    pdt = jnp.result_type(jnp.float32, *(f.dtype for f in flats))
+    packed = jnp.concatenate([f.astype(pdt) for f in flats], axis=0)
     if fused and radius is not None and jax.default_backend() == "tpu":
         from ..ops.pallas_spatial import halo_offset_gather
 
@@ -68,20 +72,51 @@ def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
     return jax.tree.unflatten(treedef, out)
 
 
+def ctx_j_getter(nbhd_ctx):
+    """Adapter: pre-gathered neighbour ctx (fields [D1, ..., H, W]) → the
+    j-indexed accessor the balance/colvec sweeps consume. Pass a callable
+    j → ShadeCtx directly to stream per-j gathers instead (the memory-lean
+    gradient-path formulation, see balance_heuristic_weights)."""
+    if callable(nbhd_ctx):
+        return nbhd_ctx
+    # dynamic_index: j may be a tracer (the colvec sweep scans over j).
+    return lambda j: jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, j, 0, False), nbhd_ctx)
+
+
 def balance_heuristic_weights(
-    nbhd_ctx,  # ShadeCtx fields [D1, ..., H, W]
+    nbhd_ctx,  # fields [D1, ..., H, W], or a callable j -> ShadeCtx
     sample_pos,  # [D1, K, 3, H, W]
     sample_color,  # [D1, K, 3, H, W]
     receiver_p_hat,  # [D1, K, H, W] — p_hat at the receiver, precomputed
     features: Features,
+    j_n: int = None,
 ):
     """generalisedBalanceHeuristic (render_utils.cpp:179-187):
     p_hat_receiver(y) / (FLT_MIN + Σ_j p_hat_j(y)), denominator over every
-    neighbourhood pixel j's own geometry."""
-    # Insert a j axis: ctx [J, 1, 1, ..., H, W] × samples [1, D1, K, ...].
-    ctx_j = jax.tree.map(lambda a: a[:, None, None], nbhd_ctx)
-    p_all = target_pdf(ctx_j, sample_pos[None], sample_color[None], features)
-    denom = FLT_MIN + jnp.sum(p_all, axis=0)  # [D1, K, H, W]
+    neighbourhood pixel j's own geometry.
+
+    Running checkpointed planes-form sum over j: the broadcast-vector form
+    materialised [J, D1, K, 3, H, W] Phong temporaries (3.6 GB at 1080p),
+    and holding all J gathered contexts + their Phong residuals through the
+    backward tipped the R-MIS balance gradient step over HBM — per-j terms
+    under jax.checkpoint keep ONE j's gather/Phong live at a time."""
+    from ..ops.shading import target_pdf_planes
+
+    get_j = ctx_j_getter(nbhd_ctx)
+    if j_n is None:
+        j_n = sample_pos.shape[0]
+    p, c = sample_pos, sample_color
+    px, py, pz = p[:, :, 0], p[:, :, 1], p[:, :, 2]  # [D1, K, H, W]
+    cr, cg, cb = c[:, :, 0], c[:, :, 1], c[:, :, 2]
+
+    @jax.checkpoint
+    def term(ctx_j, px, py, pz, cr, cg, cb):
+        return target_pdf_planes(ctx_j, px, py, pz, cr, cg, cb, features)
+
+    denom = jnp.full_like(receiver_p_hat, FLT_MIN)
+    for j in range(j_n):
+        denom = denom + term(get_j(j), px, py, pz, cr, cg, cb)
     return receiver_p_hat / denom
 
 
@@ -100,7 +135,8 @@ def rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry, features: Features):
     """One R-MIS iteration's pixel contribution from pre-gathered
     neighbourhood reservoirs ``nb`` (fields [D1, K, ..., H, W]) →
     Σ_{d,k} mis_w · W · vis·shade / K as [3, H, W] (render.cpp:92-112).
-    ``nbhd_ctx`` (fields [D1, ..., H, W]) is only read in balance mode.
+    ``nbhd_ctx`` (fields [D1, ..., H, W], or a callable j → ShadeCtx for
+    streamed gathers) is only read in balance mode.
     Shared by render_rmis and the sharded row-band path (parallel/mis.py),
     which gather the neighbourhood differently (global coords vs local
     halo-extended bands)."""
@@ -288,10 +324,26 @@ def render_rmis(
     # remaining cost is the segment_sum gather-backward + phong sweeps).
     fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
-    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius, fused)
+    need_ctx = features.mis_weight_rmis == MISWeight.BALANCE
 
     def iteration_body(acc, res):
-        nb = _gather_neighbourhood(res, ny, nx, radius, fused)  # [D1, K, ...]
+        # Gather only the fields the R-MIS sweep reads (pos/color/big_w —
+        # 14 of the 22 reservoir planes): w_sum/m/chosen_w would ride the
+        # gather AND its segment_sum backward for nothing. The balance
+        # neighbour ctx is (re)gathered INSIDE the checkpointed body: kept
+        # outside it is a ~1 GB live residual across every iteration's
+        # backward at 1080p (tipped the balance gradient step over HBM);
+        # inside, reverse mode recomputes it per iteration instead.
+        from types import SimpleNamespace
+
+        nb = SimpleNamespace(**_gather_neighbourhood(
+            dict(pos=res.pos, color=res.color, big_w=res.big_w),
+            ny, nx, radius, fused))  # fields [D1, K, ..., H, W]
+        # Per-j streamed ctx gathers (see balance_heuristic_weights).
+        nbhd_ctx = (lambda j: jax.tree.map(
+            lambda a: a[0], _gather_neighbourhood(
+                ctx, ny[j:j + 1], nx[j:j + 1], radius, fused))
+        ) if need_ctx else None
         return acc + rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry,
                                          features)
 

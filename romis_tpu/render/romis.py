@@ -46,38 +46,51 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
     every technique j. Returns colvec [J, D1, K, H, W]. Unrolled over
     (j, d) on scalar component planes (ops/shading.target_pdf_planes):
     the vector-axis broadcast form materialised [J, K, 3, H, W]
-    Phong temporaries per d — the dominant cost of an R-OMIS iteration."""
+    Phong temporaries per d — the dominant cost of an R-OMIS iteration.
+    ``nbhd_ctx``: pre-gathered fields [D1, ..., H, W] or a callable
+    j → ShadeCtx (streamed gathers, see rmis.balance_heuristic_weights)."""
     from ..ops.shading import target_pdf_planes
+    from .rmis import ctx_j_getter
 
     d1 = nb.pos.shape[0]
-    j_n = nbhd_ctx.depth_t.shape[0]
+    get_j = ctx_j_getter(nbhd_ctx)
 
-    def per_jd(j, d):
-        ctx_j = jax.tree.map(lambda a: a[j], nbhd_ctx)
-        p = nb.pos[d]  # [K, 3, H, W]
-        c = nb.color[d]
-        p_hat = target_pdf_planes(
-            ctx_j, p[:, 0], p[:, 1], p[:, 2], c[:, 0], c[:, 1], c[:, 2],
-            features)  # [K, H, W]
-        w_sum_j = nb.w_sum[j]  # [K, H, W]
-        chosen_j = nb.chosen_w[j]
-        m_j = nb.m[j]
-        mock_w = p_hat * float(num_lights)
-        w_prime = (
-            (1.0 / jnp.maximum(p_hat, 1e-37))
-            * (1.0 / jnp.maximum(m_j, 1e-37))
-            * (w_sum_j - chosen_j + mock_w)
-        )
-        return jnp.where(
-            (p_hat > 0.0) & (jnp.abs(w_prime) > 1e-37),
-            1.0 / jnp.where(jnp.abs(w_prime) > 1e-37, w_prime, 1.0),
-            0.0,
-        )  # [K, H, W]
+    # The technique axis j runs as a lax.scan with a checkpointed step: the
+    # scan's SEQUENTIAL backward bounds reverse-mode memory to one j's
+    # Phong residuals (a Python loop over j lets XLA schedule all six
+    # rematerialised row-backwards concurrently — tens of GB at 1080p;
+    # see render_romis's gradient-path notes).
+    p_, c_ = nb.pos, nb.color
+    comps = (p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+             c_[:, :, 0], c_[:, :, 1], c_[:, :, 2])  # each [D1, K, H, W]
 
-    return jnp.stack([
-        jnp.stack([per_jd(j, d) for d in range(d1)])
-        for j in range(j_n)
-    ])  # [J, D1, K, H, W]
+    def row_step(_, j):
+        ctx_j = get_j(j)
+        w_sum_j = jax.lax.dynamic_index_in_dim(nb.w_sum, j, 0, False)
+        chosen_j = jax.lax.dynamic_index_in_dim(nb.chosen_w, j, 0, False)
+        m_j = jax.lax.dynamic_index_in_dim(nb.m, j, 0, False)
+        px, py, pz, cr, cg, cb = comps
+        outs = []
+        for d in range(d1):
+            p_hat = target_pdf_planes(
+                ctx_j, px[d], py[d], pz[d], cr[d], cg[d], cb[d],
+                features)  # [K, H, W]
+            mock_w = p_hat * float(num_lights)
+            w_prime = (
+                (1.0 / jnp.maximum(p_hat, 1e-37))
+                * (1.0 / jnp.maximum(m_j, 1e-37))
+                * (w_sum_j - chosen_j + mock_w)
+            )
+            outs.append(jnp.where(
+                (p_hat > 0.0) & (jnp.abs(w_prime) > 1e-37),
+                1.0 / jnp.where(jnp.abs(w_prime) > 1e-37, w_prime, 1.0),
+                0.0,
+            ))  # [K, H, W]
+        return 0.0, jnp.stack(outs)  # [D1, K, H, W]
+
+    _, rows = jax.lax.scan(jax.checkpoint(row_step), 0.0,
+                           jnp.arange(d1))
+    return rows  # [J, D1, K, H, W]
 
 
 def solve_alpha(a_mat, b_vec):
@@ -150,14 +163,23 @@ def romis_iteration_terms(ctx, nbhd_ctx, nb, alphas, num_lights, geometry,
     reservoirs ``nb`` (fields [D1, K, ..., H, W]) — render.cpp:168-219.
     ``alphas`` [3, D1, H, W] is only read in progressive mode. Shared by
     render_romis and the sharded row-band path (parallel/mis.py)."""
+    colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
+    # colvec: [J, D1(d), K, H, W]
+    return romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry, features)
+
+
+def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
+                         features: Features):
+    """The post-colvec half of an R-OMIS iteration: receiver shading f,
+    scale/ŵ, ΔA/Δb accumulation and the progressive per-sample estimate
+    (render.cpp:187-219). Split from romis_iteration_terms so the gradient
+    path can checkpoint the colvec sweep and this stage as SIBLINGS with
+    only colvec crossing the boundary (render_romis.iteration_update)."""
     d1 = nb.pos.shape[0]
     k_lanes = nb.pos.shape[1]
     height, width = nb.pos.shape[-2:]
     total_samples = float(d1 * k_lanes)
     frac = float(k_lanes) / float(d1)  # float fix of render.cpp:139
-
-    colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
-    # colvec: [J, D1(d), K, H, W]
 
     # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
     # via the planes-form phong (no [.., 3, H, W] temporaries).
@@ -370,8 +392,6 @@ def render_romis(
     # gradient paths too (see render_rmis).
     fused = (features.fused_spatial_gather
              and getattr(geometry, "use_pallas", False))
-    nbhd_ctx = _gather_neighbourhood(ctx, ny, nx, radius,
-                                     fused)  # fields [D1, ..., H, W]
 
     a_mat = jnp.zeros((d1, d1, height, width))
     b_vec = jnp.zeros((3, d1, height, width))
@@ -385,41 +405,88 @@ def render_romis(
     it_keys = jax.random.split(jax.random.fold_in(key, PH_ITER),
                                features.max_iterations_mis)
 
-    def iteration_update(it_key, ctx_, nbhd_ctx_, lights_, geometry_,
+    # ===== gradient-path memory layout (diff/grad.py) =====
+    # Iterations run as a lax.scan with a jax.checkpoint'ed body (same
+    # shape as render_rmis): the scan's backward is inherently SEQUENTIAL,
+    # so one iteration's rematerialised intermediates are live at a time.
+    # Three measured failure modes shaped this:
+    # - a Python accumulation loop (a_mat += ΔA) gives every iteration's
+    #   backward an immediately-available cotangent, and XLA schedules all
+    #   five rematerialised iteration-backwards CONCURRENTLY (~70 GB);
+    # - nesting per-row checkpoints under an iteration checkpoint makes
+    #   remat instantiate per-row tangent copies of the sample planes;
+    # - [D1, K, 3, H, W] arrays crossing checkpoint/scan boundaries pick
+    #   the (2,3)-minor 42.7x-padded layout. Component planes only.
+    from types import SimpleNamespace
+
+    def res_comp_planes(res):
+        return dict(
+            px=res.pos[:, 0], py=res.pos[:, 1], pz=res.pos[:, 2],
+            cr=res.color[:, 0], cg=res.color[:, 1], cb=res.color[:, 2],
+            w_sum=res.w_sum, chosen=res.chosen_w, m=res.m)  # [K, H, W] each
+
+    def rebuild_nb(g):  # g: gathered comps, [D1, K, H, W] each
+        return SimpleNamespace(
+            pos=jnp.stack([g["px"], g["py"], g["pz"]], axis=2),
+            color=jnp.stack([g["cr"], g["cg"], g["cb"]], axis=2),
+            w_sum=g["w_sum"], chosen_w=g["chosen"], m=g["m"])
+
+    def iteration_update(it_key, ctx_, lights_, geometry_,
                          alphas_, res=None):
-        """One iteration's (ΔA, Δb, progressive contribution). Checkpointed
-        below: reverse mode (diff/grad.py render_mis_with_params) then
-        recomputes the candidate scan + J·D1·K colvec sweep instead of
-        keeping every iteration's residuals live."""
+        """One iteration's (ΔA, Δb, progressive contribution)."""
         if res is None:
             res = gen_canonical_samples(it_key, ctx_, lights_,
                                         num_lights, geometry_, features)
-        nb = _gather_neighbourhood(res, ny, nx, radius,
-                                   fused)  # fields [D1, K, ..., H, W]
+        rc = res_comp_planes(res)
+        nb = rebuild_nb(_gather_neighbourhood(rc, ny, nx, radius, fused))
+        # dynamic_slice: j is a tracer inside the colvec sweep's scan.
+        nbhd_ctx_ = lambda j: jax.tree.map(  # noqa: E731
+            lambda a: a[0], _gather_neighbourhood(
+                ctx_,
+                jax.lax.dynamic_slice_in_dim(ny, j, 1, 0),
+                jax.lax.dynamic_slice_in_dim(nx, j, 1, 0), radius, fused))
         return romis_iteration_terms(ctx_, nbhd_ctx_, nb, alphas_,
                                      num_lights, geometry_, features)
 
-    iteration_update = jax.checkpoint(iteration_update)
+    progressive = features.use_progressive_romis
 
-    for iteration in range(features.max_iterations_mis):
-        # ===== progressive: refresh α estimates (render.cpp:161-165) =====
-        if (features.use_progressive_romis and iteration >= 1
-                and iteration % features.progressive_update_mod == 0):
-            alphas = solve(a_mat, b_vec)
-        if features.use_progressive_romis:
-            # render.cpp:171-174: the pixelIdx loop adds α(pixelIdx) once per
-            # distribution → Σ_d α_d per iteration.
-            final_colors = final_colors + jnp.sum(alphas, axis=1)
+    if inject is not None:
+        for iteration in range(features.max_iterations_mis):
+            if (progressive and iteration >= 1
+                    and iteration % features.progressive_update_mod == 0):
+                alphas = solve(a_mat, b_vec)
+            if progressive:
+                final_colors = final_colors + jnp.sum(alphas, axis=1)
+            a_delta, b_delta, prog = iteration_update(
+                it_keys[iteration], ctx, lights, geometry, alphas,
+                res=inject[2][iteration])
+            a_mat = a_mat + a_delta
+            b_vec = b_vec + b_delta
+            if progressive:
+                final_colors = final_colors + prog
+    else:
+        def body(carry, inp):
+            a_mat, b_vec, final_colors, alphas = carry
+            it_key, it_i = inp
+            if progressive:
+                # Refresh α on the reference's schedule (render.cpp:161-165)
+                # as a traced select — the scan body is iteration-uniform.
+                do = ((it_i >= 1)
+                      & (it_i % features.progressive_update_mod == 0))
+                alphas = jnp.where(do, solve(a_mat, b_vec), alphas)
+                final_colors = final_colors + jnp.sum(alphas, axis=1)
+            a_d, b_d, prog = iteration_update(it_key, ctx, lights,
+                                              geometry, alphas)
+            if progressive:
+                final_colors = final_colors + prog
+            return (a_mat + a_d, b_vec + b_d, final_colors, alphas), None
 
-        a_delta, b_delta, prog = iteration_update(
-            it_keys[iteration], ctx, nbhd_ctx, lights, geometry, alphas,
-            res=None if inject is None else inject[2][iteration])
-        a_mat = a_mat + a_delta
-        b_vec = b_vec + b_delta
-        if features.use_progressive_romis:
-            final_colors = final_colors + prog
+        (a_mat, b_vec, final_colors, alphas), _ = jax.lax.scan(
+            jax.checkpoint(body),
+            (a_mat, b_vec, final_colors, alphas),
+            (it_keys, jnp.arange(features.max_iterations_mis)))
 
-    if features.use_progressive_romis:
+    if progressive:
         color = final_colors / features.max_iterations_mis  # combineToScreen
         alpha_out = alphas
     else:

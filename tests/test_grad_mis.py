@@ -88,7 +88,11 @@ def test_mis_light_color_grad_matches_finite_difference(cornell, feats):
     loss_fn = lambda p: mis_l2_image_loss(p, target, *args)
     g = jax.grad(loss_fn)(params)
 
-    eps = 1e-3
+    # Progressive runs the α solve inside the iteration scan — its loss has
+    # more f32 rounding, and central differences at 1e-3 are dominated by
+    # cancellation noise (measured: FD converges to the AD value as eps
+    # grows, 0.6% at 1e-2).
+    eps = 3e-3 if feats.use_progressive_romis else 1e-3
     rng = np.random.default_rng(0)
     for _ in range(2):
         ch = rng.integers(0, 3)
