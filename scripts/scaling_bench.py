@@ -203,6 +203,56 @@ def main():
                   f"eff={eff:.2f}", flush=True)
         table["paths"][path_name] = rows
 
+    # ---- sharded R-MIS / R-OMIS over the same meshes (round 4) ----------
+    # The MIS halo path (parallel/mis.py): per-iteration canonical
+    # generation per band + radius-row ppermute halos. Reduced iteration/
+    # neighbour counts keep the CPU-mesh run tractable; the partitioning
+    # and collective structure is identical at reference defaults.
+    from romis_tpu.core.features import RayTraceMode
+    from romis_tpu.parallel.mis import (
+        render_rmis_sharded, render_romis_sharded,
+    )
+
+    mis_feats = features.replace(
+        max_iterations_mis=2, num_neighbours_to_sample=3,
+        spatial_resample_radius=4, initial_light_samples=8)
+    for path_name, renderer, mode in (
+        ("rmis_sharded", render_rmis_sharded, RayTraceMode.RMIS),
+        ("romis_sharded", render_romis_sharded, RayTraceMode.ROMIS),
+    ):
+        feats_m = mis_feats.replace(ray_trace_mode=mode)
+        rows = {}
+        for n in sizes:
+            mesh = make_mesh(n)
+            with mesh:
+                def frame_fn(key_, prev_, mesh=mesh, renderer=renderer,
+                             feats_m=feats_m):
+                    return renderer(key_, cam, scene.geometry, scene.lights,
+                                    scene.num_lights, h, w, feats_m, mesh), \
+                        prev_
+
+                def frame_img(key_, prev_, f=frame_fn):
+                    img, p = f(key_, prev_)
+                    return img, p
+
+                spf, compile_s = bench_path(path_name, frame_img, key, 0.0,
+                                            args.frames)
+            if n == 1:
+                base[path_name] = spf
+            eff = base[path_name] / (spf * n)
+            rows[str(n)] = {
+                "ms_per_frame": round(spf * 1e3, 2),
+                "efficiency_vs_1dev": round(eff, 3),
+                "compile_s": round(compile_s, 1),
+            }
+            print(f"{path_name} n={n}: {spf*1e3:8.2f} ms/frame "
+                  f"eff={eff:.2f}", flush=True)
+        table["paths"][path_name] = rows
+    table["mis_note"] = (
+        "rmis/romis_sharded: parallel/mis.py halo path at reduced params "
+        "(2 iterations, D=3, radius 4, S=8) for CPU-mesh tractability; "
+        "same partitioning/collectives as reference defaults")
+
     out = args.out or os.path.join(os.path.dirname(__file__), "..",
                                    "scaling_table.json")
     with open(out, "w") as f:
