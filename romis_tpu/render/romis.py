@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..core.camera import CameraParams, generate_rays
 from ..core.features import Features
 from ..core.vec import e
-from ..ops.shading import exposure_tone_mapping, phong_shade, target_pdf
+from ..ops.shading import exposure_tone_mapping
 from ..ops.wrs import gen_canonical_samples, visibility
 from .neighbours import select_neighbour_indices
 from .restir import trace_primary
