@@ -332,6 +332,129 @@ def halo_offset_gather_pallas(
     return out[:, :, :h, :w]
 
 
+def _offset_scatter_kernel(d_n: int, radius: int, c_n: int,
+                           offs_hbm, ct_hbm, out_ref, offs_scr, ct_scr,
+                           sem_o, sem_c):
+    """Transpose of _offset_gather_kernel: accumulate every (source, d)
+    cotangent into the pixel it gathered FROM —
+    out[c, y, x] = Σ_n Σ_{y',x'} ct[n, c, y', x'] ·
+                   [y' + dy[n,y',x'] == y ∧ x' + dx[n,y',x'] == x].
+
+    Per output tile the contributing sources live in the same ±radius halo
+    window as the gather; the per-pixel lane mapping has no hardware lane
+    scatter, so it decomposes into (2r+1)² statically-shifted masked adds
+    per d. The plane loop is OUTERMOST (one fori_loop, masks recomputed
+    per plane): hoisting the 2205 [bh, we] masks is VMEM-impossible and
+    per-(n, oy) fori_loops would trace thousands of loop bodies."""
+    bh, bw = _BH, _BW
+    he, we = _halo_window(radius)
+
+    # Both windows OVERLAP across tiles (stride bh < window he), so the
+    # automatic BlockSpec pipeline cannot fetch them — manual DMA.
+    dma_o = pltpu.make_async_copy(
+        offs_hbm.at[:, pl.ds(pl.program_id(0) * bh, he),
+                    pl.ds(pl.program_id(1) * bw, we)],
+        offs_scr, sem_o)
+    dma_c = pltpu.make_async_copy(
+        ct_hbm.at[:, :, pl.ds(pl.program_id(0) * bh, he),
+                  pl.ds(pl.program_id(1) * bw, we)],
+        ct_scr, sem_c)
+    dma_o.start()
+    dma_c.start()
+    dma_o.wait()
+    dma_c.wait()
+
+    # code[n, oy] = dx where dy == oy else sentinel (one compare folds the
+    # dy test into the per-ox lane compare).
+    big = jnp.int32(2 * radius + 7)
+
+    def zero_body(cc, _):
+        out_ref[cc] = jnp.zeros((bh, bw), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, c_n, zero_body, 0)
+
+    # One small fori_loop per (n, oy) pair, accumulating into out_ref: a
+    # single unrolled (n, oy, ox, c) body holds ~2205 live temporaries and
+    # blew Mosaic's 16 MB scoped-vmem value stack (67 MB measured).
+    for n in range(d_n):
+        for oy in range(-radius, radius + 1):
+            rbase = radius - oy
+            code = jnp.where(
+                offs_scr[n, rbase:rbase + bh, :] == oy,
+                offs_scr[d_n + n, rbase:rbase + bh, :], big)
+            # (Hoisting the 21 masks out of the plane loop was measured
+            # NEUTRAL-to-worse — 344 KB of masks live across the fori.)
+
+            def body(cc, _, n=n, rbase=rbase, code=code):
+                src = ct_scr[n, cc, rbase:rbase + bh, :]  # [bh, we]
+                add = jnp.zeros((bh, bw), jnp.float32)
+                for ox in range(-radius, radius + 1):
+                    lbase = radius - ox
+                    m = code[:, lbase:lbase + bw] == ox
+                    add = add + jnp.where(
+                        m, src[:, lbase:lbase + bw], 0.0)
+                out_ref[cc] = out_ref[cc] + add
+                return 0
+
+            jax.lax.fori_loop(0, c_n, body, 0)
+
+
+def halo_offset_scatter_pallas(
+    ct: jnp.ndarray,  # [D, C, H, W] cotangents of the gather's output
+    dy: jnp.ndarray,  # [D, H, W] int32 — the gather's offsets
+    dx: jnp.ndarray,
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-offset halo SCATTER-ADD → [C, H, W]: the transpose of
+    halo_offset_gather, i.e. d_planes for its VJP. XLA's segment_sum
+    lowering of the same scatter measured 1.6 s per 1080p R-MIS gradient
+    iteration (scripts/mis_grad_bench.py diagnostics); this kernel runs the
+    (2r+1)²·D masked-shift decomposition on-chip."""
+    if radius > 64:
+        raise ValueError("halo offset scatter supports radius <= 64")
+    d_n, c, h, w = ct.shape
+    align_h = (-h) % _BH
+    align_w = (-w) % _BW
+    he, we = _halo_window(radius)
+    # Zero-pad ct: out-of-image sources contribute nothing regardless of
+    # their (padded-to-0) offsets.
+    ct_pad = jnp.pad(
+        ct,
+        ((0, 0), (0, 0),
+         (radius, align_h + (he - _BH - radius)),
+         (radius, align_w + (we - _BW - radius))))
+    offs = jnp.concatenate([dy, dx], axis=0).astype(jnp.int32)
+    offs_pad = jnp.pad(
+        offs,
+        ((0, 0),
+         (radius, align_h + (he - _BH - radius)),
+         (radius, align_w + (we - _BW - radius))))
+    hp, wp = h + align_h, w + align_w
+    grid = (hp // _BH, wp // _BW)
+
+    out = pl.pallas_call(
+        functools.partial(_offset_scatter_kernel, d_n, radius, c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # offsets stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ct stays in HBM
+        ],
+        out_specs=pl.BlockSpec((c, _BH, _BW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * d_n, he, we), jnp.int32),
+            pltpu.VMEM((d_n, c, he, we), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(offs_pad, ct_pad)
+    return out[:, :h, :w]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def halo_offset_gather(planes, dy, dx, radius: int, skip_absent: bool = True):
     """DIFFERENTIABLE exact-offset halo gather:
@@ -366,12 +489,21 @@ def _halo_offset_bwd(radius, skip_absent, res, ct):
     import numpy as np
 
     dy, dx, (c, h, w) = res
+    z = lambda a: np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
+    if jax.default_backend() == "tpu" and radius <= 64 and h * w >= 400_000:
+        # Fused transpose kernel: XLA's segment_sum lowering of this
+        # scatter measured 1.6 s per 1080p R-MIS gradient iteration vs
+        # ~0.4 s for the kernel (4x; R-MIS grad step 9.8 → 5.8 s). Below
+        # ~0.4 MP the kernel's fixed per-tile costs lose to segment_sum
+        # (360p romis measured 1.05 → 1.56 s), hence the size gate.
+        d_planes = halo_offset_scatter_pallas(
+            ct.astype(jnp.float32), dy, dx, radius).astype(ct.dtype)
+        return d_planes, z(dy), z(dx)
     rows = jnp.arange(h, dtype=jnp.int32)[:, None]
     cols = jnp.arange(w, dtype=jnp.int32)[None, :]
     flat_idx = ((rows[None] + dy) * w + (cols[None] + dx)).ravel()
     ct_flat = jnp.moveaxis(ct, 1, -1).reshape(-1, c)  # [(D H W), C]
     d_planes = jax.ops.segment_sum(ct_flat, flat_idx, num_segments=h * w)
-    z = lambda a: np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
     return (jnp.moveaxis(d_planes.reshape(h, w, c), -1, 0), z(dy), z(dx))
 
 

@@ -599,6 +599,32 @@ def test_halo_offset_gather_vjp():
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-5)
 
 
+def test_halo_offset_scatter_kernel_matches_segment_sum():
+    """The fused scatter kernel (the gather's TPU transpose,
+    halo_offset_scatter_pallas) must reproduce the direct scatter-add
+    exactly — including duplicate targets, image borders, and the padded
+    alignment region."""
+    from romis_tpu.ops.pallas_spatial import halo_offset_scatter_pallas
+
+    rng = np.random.default_rng(5)
+    c, h, w, d_n, r = 6, 40, 150, 4, 3  # non-tile-multiple H/W on purpose
+    ys = np.arange(h)[None, :, None]
+    xs = np.arange(w)[None, None, :]
+    ny = np.clip(ys + rng.integers(-r, r + 1, (d_n, h, w)), 0, h - 1)
+    nx = np.clip(xs + rng.integers(-r, r + 1, (d_n, h, w)), 0, w - 1)
+    dy = jnp.asarray((ny - ys).astype(np.int32))
+    dx = jnp.asarray((nx - xs).astype(np.int32))
+    ct = rng.normal(size=(d_n, c, h, w)).astype(np.float32)
+
+    got = np.asarray(halo_offset_scatter_pallas(
+        jnp.asarray(ct), dy, dx, r, interpret=True))
+    expect = np.zeros((c, h, w), np.float32)
+    for di in range(d_n):
+        for cc in range(c):
+            np.add.at(expect[cc], (ny[di], nx[di]), ct[di, cc])
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
 def test_spatial_pass_halo_src_matches_full_image():
     """The fused pass kernel fed pre-exchanged band halos + a global row
     base (parallel/halo.spatial_reuse_halo) must reproduce the full-image
