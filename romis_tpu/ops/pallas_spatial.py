@@ -1087,8 +1087,15 @@ def spatial_pass_unbiased_pallas(
         nbr_pos.reshape(n_nbr, 3, h, w),         # [R, 3, H, W]
     ])  # [R+1, 3, H, W]
     if interpret or fits_pallas(geometry):
+        # Rays whose Z-term is already zero (stream's p̂(winner) = 0, or a
+        # dead winner lane) collapse their trace window so whole-tile block
+        # culling can skip; their vis value is never consumed.
+        mask = jnp.concatenate([
+            (p_star > 0.0)[None],                       # self [1, K, H, W]
+            nbr_mf.reshape(n_nbr, k, h, w) > 0.0,       # [R, K, H, W]
+        ])
         occluded = pallas_zcount_occ(origins, win_pos, geometry,
-                                     eps=SHADOW_RAY_EPSILON,
+                                     eps=SHADOW_RAY_EPSILON, mask=mask,
                                      interpret=interpret)
         vis = ~occluded  # [R+1, K, H, W]
     else:

@@ -548,7 +548,13 @@ def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
 
 
 def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
-                   trix_ref, aabb_ref, o_ref, t_ref, occ_ref, occf_scr):
+                   masked: bool, *refs):
+    if masked:
+        (trix_ref, aabb_ref, o_ref, t_ref, m_ref, occ_ref,
+         occf_scr) = refs
+    else:
+        trix_ref, aabb_ref, o_ref, t_ref, occ_ref, occf_scr = refs
+        m_ref = None
     for r in range(r_n):
         ox, oy, oz = o_ref[3 * r], o_ref[3 * r + 1], o_ref[3 * r + 2]
         rays = []
@@ -564,6 +570,10 @@ def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
             # exactly (origin pushed eps along a unit d shifts t by eps);
             # dist <= eps collapses the window -> unoccluded, the
             # coincident-pair escape built in.
+            if m_ref is not None:
+                # Dead rays (their Z-term is zero regardless) collapse
+                # their window so whole-tile block culling can skip.
+                dist = jnp.where(m_ref[r * k_n + kk] > 0.5, dist, 0.0)
             rays.append((tox * dinv, toy * dinv, toz * dinv, dist))
         occlusion_shared_origin_into(
             n_tris, trix_ref, aabb_ref, (ox, oy, oz), rays, eps,
@@ -573,7 +583,7 @@ def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
 
 
 def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
-                      interpret: bool = False):
+                      mask=None, interpret: bool = False):
     """Occlusion of K winner samples from R input-surface origins — the
     unbiased Z-count visibility rays (reference reservoir.cpp:85-93) in ONE
     fused kernel. origins [R, 3, H, W], targets [K, 3, H, W] → occluded
@@ -607,15 +617,24 @@ def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
     tile = lambda c: pl.BlockSpec((c, bh, bw), lambda i, j: (0, i, j),
                                   memory_space=pltpu.VMEM)
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                tile(3 * r_n), tile(3 * k_n)]
+    inputs = [trix, aabbs, o, t]
+    if mask is not None:
+        m = mask.astype(jnp.float32).reshape(r_n * k_n, h, w)
+        m, _, _ = _pad_hw(m, bh, bw)
+        in_specs.append(tile(r_n * k_n))
+        inputs.append(m)
+
     occ = pl.pallas_call(
-        functools.partial(_zcount_kernel, geometry.num_tris, r_n, k_n, eps),
+        functools.partial(_zcount_kernel, geometry.num_tris, r_n, k_n, eps,
+                          mask is not None),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tile(3 * r_n), tile(3 * k_n)],
+        in_specs=in_specs,
         out_specs=tile(r_n * k_n),
         out_shape=jax.ShapeDtypeStruct((r_n * k_n, hp, wp), jnp.bool_),
         scratch_shapes=[pltpu.VMEM((r_n * k_n, bh, bw), jnp.float32)],
         interpret=interpret,
-    )(trix, aabbs, o, t)
+    )(*inputs)
     return occ[:, :hh, :ww].reshape(r_n, k_n, hh, ww)
