@@ -76,15 +76,20 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
                 ctx_j, px[d], py[d], pz[d], cr[d], cg[d], cb[d],
                 features)  # [K, H, W]
             mock_w = p_hat * float(num_lights)
+            # Grad-safe p̂ gate: colvec ≈ p̂·M/(wSum−chosen) → 0 as p̂ → 0,
+            # so gating at 1e-18 instead of 0 changes nothing measurable —
+            # but 1/max(p̂, 1e-37) has backward −1/p̂² = inf for p̂ ~1e-30,
+            # and the masked inf NaN-poisoned progressive vertex grads.
+            ok_p = p_hat > 1e-18
+            inv_p = jnp.where(ok_p, 1.0 / jnp.where(ok_p, p_hat, 1.0), 0.0)
             w_prime = (
-                (1.0 / jnp.maximum(p_hat, 1e-37))
+                inv_p
                 * (1.0 / jnp.maximum(m_j, 1e-37))
                 * (w_sum_j - chosen_j + mock_w)
             )
+            ok_w = ok_p & (jnp.abs(w_prime) > 1e-37)
             outs.append(jnp.where(
-                (p_hat > 0.0) & (jnp.abs(w_prime) > 1e-37),
-                1.0 / jnp.where(jnp.abs(w_prime) > 1e-37, w_prime, 1.0),
-                0.0,
+                ok_w, 1.0 / jnp.where(ok_w, w_prime, 1.0), 0.0,
             ))  # [K, H, W]
         return 0.0, jnp.stack(outs)  # [D1, K, H, W]
 
@@ -193,9 +198,16 @@ def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
     vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, H, W]
     f = jnp.where(e(vis), shade, 0.0)  # [D1, K, 3, H, W]
 
-    # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210)
-    scale = 1.0 / (FLT_MIN + float(k_lanes)
-                   * jnp.sum(colvec, axis=0))  # [D1, K, H, W]
+    # scale = 1/(FLT_MIN + Σ_j K * colvec_j) (render.cpp:207-210),
+    # grad-safe: the bare reciprocal's backward is −1/(...)² = inf when
+    # Σcolvec ~1e-37 (see _colvec_for_samples' p̂ gate note). Forward is
+    # EXACT for Σcolvec ≥ 1e-30.
+    s_cv = jnp.sum(colvec, axis=0)  # [D1, K, H, W]
+    ok_s = s_cv >= 1e-30
+    scale = jnp.where(
+        ok_s,
+        1.0 / jnp.where(ok_s, FLT_MIN + float(k_lanes) * s_cv, 1.0),
+        1.0 / FLT_MIN)  # [D1, K, H, W]
     w_hat = colvec * scale[None]  # [J, D1, K, H, W]
 
     # A += Σ_{d,k} ŵ ŵᵀ, b_c += Σ_{d,k} scale·ŵ·f_c
@@ -229,7 +241,22 @@ def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
             for c in range(3)
         ], axis=2)  # [D1, K, 3, H, W]
         sum_frac = FLT_MIN + frac * jnp.sum(colvec, axis=0)  # [D1,K,H,W]
-        contrib = (f - sum_alpha_prod) / sum_frac[:, :, None]
+        # Grad-safe reciprocal: the FLT_MIN-only denominator is faithful to
+        # render.cpp:197, but its backward computes 1/sum_frac² = inf in
+        # f32, and 0·inf = NaN poisons vertex/position gradients. The
+        # double-where keeps the forward EXACT for sum_frac ≥ 1e-30 (the
+        # golden-oracle regime); below that the pixel is a >1e30 firefly
+        # whose gradient is zeroed.
+        ok = sum_frac >= 1e-30
+        inv_sf = jnp.where(ok, 1.0 / jnp.where(ok, sum_frac, 1.0),
+                           1.0 / FLT_MIN)[:, :, None]
+        num = f - sum_alpha_prod
+        # Degenerate samples (Σcolvec ≈ 0) keep their faithful ~1e38-scaled
+        # VALUE but are detached: the huge multiplier otherwise overflows
+        # every upstream cotangent (phong/shininess partials → inf → NaN).
+        contrib = jnp.where(
+            ok[:, :, None], num * inv_sf,
+            jax.lax.stop_gradient(num * inv_sf))
         prog = jnp.sum(contrib, axis=(0, 1)) / total_samples
     return a_delta, b_delta, prog
 
@@ -471,9 +498,17 @@ def render_romis(
             if progressive:
                 # Refresh α on the reference's schedule (render.cpp:161-165)
                 # as a traced select — the scan body is iteration-uniform.
+                # The solve runs EVERY iteration (where-selected), so feed
+                # it a well-conditioned matrix on unselected iterations:
+                # iteration 0's all-zero A gives λ=1e-20 pivots whose
+                # backward overflows to inf, and the where's zero cotangent
+                # times inf NaN-poisons vertex/position gradients. When
+                # ``do`` holds, a_safe == a_mat exactly.
                 do = ((it_i >= 1)
                       & (it_i % features.progressive_update_mod == 0))
-                alphas = jnp.where(do, solve(a_mat, b_vec), alphas)
+                bump = (1.0 - do.astype(jnp.float32))
+                a_safe = a_mat + bump * jnp.eye(d1)[:, :, None, None]
+                alphas = jnp.where(do, solve(a_safe, b_vec), alphas)
                 final_colors = final_colors + jnp.sum(alphas, axis=1)
             a_d, b_d, prog = iteration_update(it_key, ctx, lights,
                                               geometry, alphas)
