@@ -98,7 +98,7 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
                 ext_vis: bool,
                 *refs):
     """mode: 'rmis_equal' | 'rmis_balance' | 'romis'. refs layout (wrapper
-    order): offs[2D], cen_ctx[18], cen_res[C_res], [nbr_ctx[18D]],
+    order): offs[2D], cen_ctx[18], cen_res[C_res], [nbr_ctx[14D]],
     [alphas[3*D1]], then trix SMEM + aabb SMEM (in-kernel occlusion) OR
     vis[D1*K] (``ext_vis``: visibility precomputed outside — the
     large-scene path, where the soup exceeds SMEM and the D1·K shadow rays
@@ -139,7 +139,7 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     cen_res_ref = refs[i]; i += 1
     nbr_ctx_ref = None
     if need_ctx:
-        # Neighbour shading ctx [D*18, bh, bw], pre-resolved ONCE per frame
+        # Neighbour shading ctx [D*14, bh, bw], pre-resolved ONCE per frame
         # (it is iteration-invariant; the wrapper caches it via
         # halo_offset_gather) — resolving it in-kernel cost ~45 ms/iter.
         nbr_ctx_ref = refs[i]; i += 1
@@ -240,10 +240,17 @@ def _mis_kernel(mode: str, d_nbr: int, radius: int, k: int, n_tris: int,
     valid = cx["valid"] > 0.5
     cxs = [cx]
     if need_ctx:
+        # 14-plane neighbour pack (see resolve_neighbour_ctx): view_origin
+        # is a per-frame constant for the pinhole camera (generate_rays
+        # broadcasts ONE origin, core/camera.py:115), so the neighbour's
+        # view planes are the receiver's own — substituted here instead of
+        # gathered (3 planes), and depth is never read by the sweep
+        # (offsets are pre-chosen) — 4 of 18 resolve planes dropped.
         for d in range(d_nbr):
+            np14 = [nbr_ctx_ref[14 * d + p] for p in range(14)]
             cxs.append(_ctx_dict(
-                [nbr_ctx_ref[18 * d + p] for p in range(16)]
-                + [nbr_ctx_ref[18 * d + 17]], shin_n))
+                np14[0:6] + [cen_ctx_ref[6], cen_ctx_ref[7],
+                             cen_ctx_ref[8]] + np14[6:14], shin_n))
 
     def _raw(d, c):
         return cen_res_ref[c] if d == 0 else res_rs[d - 1, c]
@@ -464,13 +471,21 @@ def resolve_neighbour_ctx(cen_ctx: jnp.ndarray, offs: jnp.ndarray,
                           radius: int) -> jnp.ndarray:
     """Pre-resolve the neighbour shading contexts ONCE per frame (they are
     iteration-invariant): [18, H, W] ctx + [2D, H, W] offsets →
-    [D*18, H, W]. Rides halo_offset_gather (Pallas on TPU)."""
+    [D*14, H, W]. Rides halo_offset_gather (Pallas on TPU).
+
+    Only 14 of the 18 ctx planes are gathered: view_origin3 is a per-frame
+    constant for the pinhole camera (generate_rays broadcasts one origin —
+    the sweep kernel substitutes the receiver's own view planes) and depth
+    is never read for neighbours (offsets are pre-chosen, no similarity
+    gates in the sweep). Pack: pos3 | normal3 | kd3 | ks3 | shin | valid."""
     from .pallas_spatial import halo_offset_gather
 
     d_nbr = offs.shape[0] // 2
-    g = halo_offset_gather(cen_ctx, offs[:d_nbr], offs[d_nbr:], radius,
+    sub = jnp.concatenate([cen_ctx[0:6], cen_ctx[9:16], cen_ctx[17:18]],
+                          axis=0)  # [14, H, W]
+    g = halo_offset_gather(sub, offs[:d_nbr], offs[d_nbr:], radius,
                            skip_absent=False)
-    return g.reshape((d_nbr * 18,) + g.shape[-2:])
+    return g.reshape((d_nbr * 14,) + g.shape[-2:])
 
 
 def mis_iteration_pallas(
@@ -483,7 +498,7 @@ def mis_iteration_pallas(
     mode: str,  # 'rmis_equal' | 'rmis_balance' | 'romis'
     num_lights: int,
     lane_counts,
-    nbr_ctx: jnp.ndarray = None,  # [D*18, H, W] resolve_neighbour_ctx
+    nbr_ctx: jnp.ndarray = None,  # [D*14, H, W] resolve_neighbour_ctx
     alphas: jnp.ndarray = None,  # [3*D1, H, W] (progressive R-OMIS)
     it_block: int = 0,  # which per-iteration block of res_planes to use
     res_pad=None,  # precomputed pad_halo(res_planes, ...) (batched calls)
@@ -565,7 +580,7 @@ def mis_iteration_pallas(
     inputs = [offs_p, cen_ctx_p, res_p]
     if need_ctx:
         nbr_ctx_p, _, _ = _pad_hw(nbr_ctx, bh, _BW)
-        in_specs.append(tile(18 * d_nbr))
+        in_specs.append(tile(14 * d_nbr))
         inputs.append(nbr_ctx_p)
     if progressive:
         in_specs.append(tile(3 * d1))

@@ -11,6 +11,11 @@ Env: MIS_GRAD_MODES=rmis_equal,romis_direct  MIS_GRAD_ITERS=5
      canonical RIS (Features.surrogate_resampling_grad, statistically
      validated in tests/test_grad_surrogate.py; the MIS gradient wrappers
      pass the flag through). rmis_equal 1080p: 5.8 s exact → 3.9 s.
+     MIS_GRAD_BANDS=N — band-sequential backward (diff/banded.py): the
+     frame runs as a scan over N row bands with a checkpointed band body,
+     dividing reverse-mode residual memory by N. The only way R-OMIS
+     gradients fit single-chip HBM at 1080p (hbm_note in
+     perf_artifacts.json).
 """
 
 import json
@@ -27,12 +32,14 @@ import jax.numpy as jnp
 def main():
     import __graft_entry__ as ge
     from romis_tpu.core.features import Features, MISWeight, RayTraceMode
+    from romis_tpu.diff.banded import mis_banded_l2_loss
     from romis_tpu.diff.grad import extract_params, mis_l2_image_loss
 
     res_s = os.environ.get("RMIS_RES", "1080x1920")
     h, w = (int(x) for x in res_s.split("x"))
     iters = int(os.environ.get("MIS_GRAD_ITERS", "5"))
     surr = os.environ.get("MIS_GRAD_SURR", "0") == "1"
+    n_bands = int(os.environ.get("MIS_GRAD_BANDS", "0"))
     scene = ge._flagship_scene()
     cam = ge._flagship_camera(h, w)
     params = extract_params(scene.geometry, scene.lights)
@@ -60,9 +67,14 @@ def main():
             feats = feats.replace(surrogate_resampling_grad=True)
 
         def step(params, feats=feats):
-            loss, g = jax.value_and_grad(mis_l2_image_loss)(
-                params, target, key, cam, scene.geometry, scene.lights,
-                scene.num_lights, h, w, feats)
+            if n_bands:
+                loss, g = jax.value_and_grad(mis_banded_l2_loss)(
+                    params, target, key, cam, scene.geometry, scene.lights,
+                    scene.num_lights, h, w, feats, n_bands)
+            else:
+                loss, g = jax.value_and_grad(mis_l2_image_loss)(
+                    params, target, key, cam, scene.geometry, scene.lights,
+                    scene.num_lights, h, w, feats)
             # one scalar touching every grad leaf (defeats DCE)
             return loss + sum(jnp.sum(jnp.abs(x))
                               for x in jax.tree.leaves(g))

@@ -180,3 +180,106 @@ def test_rmis_sharded_statistics_without_injection(setup):
                         for i in range(n)], axis=0)
     ms, mh = float(singles.mean()), float(shardeds.mean())
     assert abs(ms - mh) <= 0.08 * max(ms, mh), (ms, mh)
+
+
+def test_romis_sharded_statistics_without_injection(setup):
+    """Same contract for R-OMIS (VERDICT r4 item 7): the sharded path's
+    per-device RNG branch (gen_canonical_samples inside shard_map) must
+    produce the same estimator mean as the single-device render. Direct
+    mode: the Σ_d α_d output is the stable estimator quantity (per-α noise
+    is solver-degenerate, see test_golden_mis.py conditioning note)."""
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.ROMIS,
+                          enable_tone_mapping=False,
+                          initial_light_samples=16, max_iterations_mis=4)
+    nl = s["scene"].num_lights
+    f_single = jax.jit(lambda k: render_romis(
+        k, s["cam"], s["scene"].geometry, s["scene"].lights, nl, H, W,
+        feats))
+    f_sharded = jax.jit(lambda k: render_romis_sharded(
+        k, s["cam"], s["scene"].geometry, s["scene"].lights, nl, H, W,
+        feats, s["mesh"]))
+
+    n = 6
+    singles = np.mean([np.asarray(f_single(jax.random.PRNGKey(100 + i)))
+                       for i in range(n)], axis=0)
+    shardeds = np.mean([np.asarray(f_sharded(jax.random.PRNGKey(200 + i)))
+                        for i in range(n)], axis=0)
+    ms, mh = float(singles.mean()), float(shardeds.mean())
+    assert abs(ms - mh) <= 0.08 * max(ms, mh), (ms, mh)
+
+
+# ===== differentiable × multi-chip (VERDICT r4 missing-item 2) =====
+
+from romis_tpu.diff.grad import apply_params, extract_params  # noqa: E402
+from romis_tpu.parallel.mis import make_sharded_mis_train_step  # noqa: E402
+
+
+@pytest.mark.parametrize("mode", ["rmis_balance", "romis_direct"])
+def test_sharded_mis_grad_matches_single_device_with_injection(setup, mode):
+    """Gradients must survive the shard_map/_halo_extend path: with the same
+    injected neighbourhood, the sharded backward (ppermute transpose + psum
+    of replicated params) must reproduce the single-device backward."""
+    s = setup
+    if mode == "rmis_balance":
+        feats = FEATS.replace(ray_trace_mode=RayTraceMode.RMIS,
+                              mis_weight_rmis=MISWeight.BALANCE,
+                              enable_tone_mapping=False)
+    else:
+        feats = FEATS.replace(ray_trace_mode=RayTraceMode.ROMIS,
+                              enable_tone_mapping=False)
+    feats = feats.replace(fused_resampling=False)
+    nl = s["scene"].num_lights
+    params = extract_params(s["scene"].geometry, s["scene"].lights)
+    target = jnp.zeros((H, W, 3))
+
+    def loss(p, sharded):
+        geometry, lights = apply_params(s["scene"].geometry,
+                                        s["scene"].lights, p)
+        if feats.ray_trace_mode == RayTraceMode.RMIS:
+            if sharded:
+                img = render_rmis_sharded(s["key"], s["cam"], geometry,
+                                          lights, nl, H, W, feats,
+                                          s["mesh"], inject=s["inject"])
+            else:
+                img = render_rmis(s["key"], s["cam"], geometry, lights, nl,
+                                  H, W, feats, inject=s["inject"])
+        else:
+            if sharded:
+                img = render_romis_sharded(s["key"], s["cam"], geometry,
+                                           lights, nl, H, W, feats,
+                                           s["mesh"], inject=s["inject"])
+            else:
+                img = render_romis(s["key"], s["cam"], geometry, lights, nl,
+                                   H, W, feats, inject=s["inject"])
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    g_sh = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    for name in vars(g_ref):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_sh, name))
+        assert np.isfinite(b).all(), name
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=2e-5 * scale,
+                                   err_msg=name)
+
+
+def test_sharded_mis_train_step_moves_loss(setup):
+    """End-to-end sharded R-OMIS training step without injection: loss is
+    finite, every param leaf gets a finite gradient, and the light-color
+    gradient is nonzero (the canonical inverse-rendering signal)."""
+    s = setup
+    feats = FEATS.replace(ray_trace_mode=RayTraceMode.ROMIS,
+                          enable_tone_mapping=False)
+    params = extract_params(s["scene"].geometry, s["scene"].lights)
+    step = make_sharded_mis_train_step(
+        s["scene"].geometry, s["scene"].lights, s["scene"].num_lights,
+        H, W, feats, s["mesh"])
+    target = jnp.zeros((H, W, 3))
+    new_params, loss, grads = step(params, target, s["key"], s["cam"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for name in vars(grads):
+        assert np.isfinite(np.asarray(getattr(grads, name))).all(), name
+    assert float(jnp.abs(grads.light_c0).max()) > 0
+    assert float(jnp.abs(new_params.light_c0 - params.light_c0).max()) > 0
