@@ -147,13 +147,11 @@ def render_mis_banded(
             g = _gather_neighbourhood(rc, ny_l, nx_l, radius, fused)
             return jax.tree.map(slice_center, g)
 
-        nbhd_ctx = (lambda j: jax.tree.map(
-            lambda a: slice_center(a[0]),
-            _gather_neighbourhood(
-                ctx_b,
-                jax.lax.dynamic_slice_in_dim(ny_l, j, 1, 0),
-                jax.lax.dynamic_slice_in_dim(nx_l, j, 1, 0),
-                radius, fused))) if need_ctx else None
+        from ..render.rmis import slim_ctx_stream
+
+        nbhd_ctx = (slim_ctx_stream(ctx_b, ny_l, nx_l, radius, fused,
+                                    view_ctx=ctx_c, post=slice_center)
+                    if need_ctx else None)
 
         def res_for(it_key, it_i):
             if res_b is not None:
@@ -182,7 +180,7 @@ def render_mis_banded(
         # ===== R-OMIS =====
         from types import SimpleNamespace
 
-        from ..render.romis import _colvec_for_samples
+        from ..render.romis import _colvec_rows
 
         def it_body(carry, xs):
             a_mat, b_vec, final_colors, alphas = carry
@@ -206,7 +204,9 @@ def render_mis_banded(
                 pos=jnp.stack([g["px"], g["py"], g["pz"]], axis=2),
                 color=jnp.stack([g["cr"], g["cg"], g["cb"]], axis=2),
                 w_sum=g["w_sum"], chosen_w=g["chosen"], m=g["m"])
-            colvec = _colvec_for_samples(nb, nbhd_ctx, num_lights, features)
+            # List-mode colvec + reduction-form A/b: the banded backward's
+            # fast formulation (see _colvec_rows / _romis_ab_rows notes).
+            colvec = _colvec_rows(nb, nbhd_ctx, num_lights, features)
             a_d, b_d, prog = romis_ab_from_colvec(
                 ctx_c, nb, colvec, alphas, geometry, features)
             if progressive:

@@ -146,9 +146,19 @@ def intersect_any(origins, dirs, t_max, geometry) -> jnp.ndarray:
     Reference: EmbreeInterface::anyHit (embree_interface.cpp:58-62)."""
     if geometry.bvh is not None:
         if geometry.use_pallas:
-            from .pallas_bvh import paged_any, paged_fits
+            from .pallas_bvh import (
+                PAGED_ANY_K_MAX, paged_any, paged_any_k, paged_fits,
+            )
 
             if paged_fits(geometry.bvh.paged):
+                lead_n = 1
+                for s in origins.shape[:-3]:
+                    lead_n *= s
+                if 2 <= lead_n <= PAGED_ANY_K_MAX:
+                    # Per-pixel ray batches (MIS ext_vis: D1·K=12 rays per
+                    # receiver) share one tree walk + page DMA stream.
+                    return paged_any_k(origins, dirs, t_max,
+                                       geometry.bvh.paged)
                 return paged_any(origins, dirs, t_max, geometry.bvh.paged)
         from .traverse import bvh_any
 

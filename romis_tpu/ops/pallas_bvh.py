@@ -398,3 +398,78 @@ def paged_any(origins, dirs, t_max, paged: PagedBVH,
     )(paged.nodes_box, paged.nodes_link, paged.pages, o, d, tm)
     occ = occ[:, :hh, :ww]
     return occ.reshape(lead + (h, w)) if lead else occ[0]
+
+
+def _any_k_kernel(n_blocks: int, s: int, nodes_f_ref, nodes_i_ref,
+                  pages_hbm, o_ref, d_ref, tmax_ref, occ_ref, pg, occf_ref,
+                  sem):
+    rays = [(o_ref[lane, 0], o_ref[lane, 1], o_ref[lane, 2],
+             d_ref[lane, 0], d_ref[lane, 1], d_ref[lane, 2],
+             tmax_ref[lane]) for lane in range(s)]
+    occlusion_paged_k_into(n_blocks, nodes_f_ref, nodes_i_ref, pages_hbm,
+                           rays, occf_ref, pg, sem)
+    occ_ref[...] = occf_ref[...] > 0.5
+
+
+# paged_any walks the tree once PER sample plane (leading axes become a
+# grid dim); above this many planes the K-lane VMEM footprint (7 S planes
+# per tile) stops paying for the shared walk.
+PAGED_ANY_K_MAX = 16
+
+
+def paged_any_k(origins, dirs, t_max, paged: PagedBVH,
+                interpret: bool = False):
+    """Shared-walk occlusion for a BATCH of shadow rays per pixel: the S
+    leading sample planes run as K lanes of ONE kernel — one top-tree walk
+    and one page DMA stream amortized over all S rays (occlusion_paged_k_into
+    docstring), instead of paged_any's S independent walks. This is the
+    large-scene analog of the soup path's shared-origin Z-count batching
+    (pallas_trace.pallas_zcount_occ): the MIS ext_vis batch traces D1·K=12
+    rays from one receiver per pixel (reference anyHit serves them as 12
+    independent rtcOccluded1 calls, embree_interface.cpp:58-62 — on TPU the
+    12 walks share every page fetch). Same contract as paged_any."""
+    lead = origins.shape[:-3]
+    h, w = origins.shape[-2:]
+    d_full = jnp.broadcast_to(dirs, origins.shape)
+    o = origins.reshape((-1, 3, h, w))
+    d = d_full.reshape((-1, 3, h, w))
+    tm = jnp.broadcast_to(t_max, lead + (h, w)).reshape((-1, h, w))
+    s = o.shape[0]
+    assert s <= PAGED_ANY_K_MAX
+
+    o, hh, ww = _pad_hw(o, 8, 128)
+    d, _, _ = _pad_hw(d, 8, 128)
+    tm, _, _ = _pad_hw(tm, 8, 128)
+    hp, wp = o.shape[-2:]
+    bh, bw = min(_BH_ANY, hp), min(_BW_ANY, wp)
+    o, _, _ = _pad_hw(o, bh, bw)
+    d, _, _ = _pad_hw(d, bh, bw)
+    tm, _, _ = _pad_hw(tm, bh, bw)
+    hp, wp = o.shape[-2:]
+
+    n_blocks = paged.page_tris // PAGE_BLK
+    grid = (hp // bh, wp // bw)
+    ray_spec = pl.BlockSpec((s, 3, bh, bw), lambda i, j: (0, 0, i, j),
+                            memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((s, bh, bw), lambda i, j: (0, i, j),
+                           memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_any_k_kernel, n_blocks, s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            ray_spec, ray_spec, sc_spec,
+        ],
+        out_specs=sc_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.bool_),
+        scratch_shapes=[
+            pltpu.SMEM((paged.pages.shape[1], paged.page_tris), jnp.float32),
+            pltpu.VMEM((s, bh, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(paged.nodes_box, paged.nodes_link, paged.pages, o, d, tm)
+    occ = occ[:, :hh, :ww]
+    return occ.reshape(lead + (h, w)) if lead else occ[0]

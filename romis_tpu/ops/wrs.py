@@ -209,6 +209,7 @@ def _gen_canonical_surrogate(
     num_lights: int,
     geometry,
     features: Features,
+    return_records: bool = False,
 ) -> Reservoirs:
     """gen_canonical_samples with the winner-replay surrogate gradient
     (Features.surrogate_resampling_grad).
@@ -255,7 +256,8 @@ def _gen_canonical_surrogate(
             seed, ctx_d, lights_d, num_lights, features,
             uniform_shin=getattr(geometry, "uniform_shin", None))
         return _surrogate_tail(ctx, lights, num_lights, geometry, features,
-                               lane_counts, w_sum, sel_iuv, sel2_iuv)
+                               lane_counts, w_sum, sel_iuv, sel2_iuv,
+                               return_records)
 
     keys = jax.random.split(key, sk)
     real_per_slot = jnp.asarray(lane_real)
@@ -301,11 +303,12 @@ def _gen_canonical_surrogate(
         step, init, (keys, real_per_slot))
     return _surrogate_tail(ctx, lights, num_lights, geometry, features,
                            lane_counts, jax.lax.stop_gradient(w_sum),
-                           sel_iuv, sel2_iuv)
+                           sel_iuv, sel2_iuv, return_records)
 
 
 def _surrogate_tail(ctx, lights, num_lights, geometry, features,
-                    lane_counts, w_sum, sel_iuv, sel2_iuv) -> Reservoirs:
+                    lane_counts, w_sum, sel_iuv, sel2_iuv,
+                    return_records: bool = False) -> Reservoirs:
     """Differentiable reservoir reconstruction from detached replay records
     (see _gen_canonical_surrogate). w_sum/sel_iuv/sel2_iuv are data."""
     h, w_img = ctx.depth_t.shape[-2:]
@@ -345,10 +348,29 @@ def _surrogate_tail(ctx, lights, num_lights, geometry, features,
         vis = visibility(ctx.position, sel_pos, geometry)
         big_w = jnp.where(vis, big_w, 0.0)
 
-    return Reservoirs(
+    res = Reservoirs(
         pos=sel_pos, color=sel_color, w_sum=w_sum_diff, m=m, big_w=big_w,
         chosen_w=sel_w,
     )
+    if not return_records:
+        return res
+    # Replay record per lane [K, 3, H, W] (idxf | u1 | u2), idx = -1 where
+    # the lane has no winner — the spatial/temporal replay-records path
+    # (combine_biased_surrogate records mode) re-derives winner pos/color
+    # from these instead of chaining pos-plane cotangents through gathers.
+    idxf, u1, u2 = (jax.lax.stop_gradient(a) for a in sel_iuv)
+    rec = jnp.stack([jnp.where(has_winner, idxf, -1.0), u1, u2], axis=1)
+    return res, rec
+
+
+def gen_canonical_with_records(key, ctx, lights, num_lights, geometry,
+                               features: Features):
+    """gen_canonical_samples in surrogate mode, additionally returning the
+    winner replay records [K, 3, H, W] for the records-mode reuse combines.
+    Requires features.surrogate_resampling_grad."""
+    assert features.surrogate_resampling_grad
+    return _gen_canonical_surrogate(key, ctx, lights, num_lights, geometry,
+                                    features, return_records=True)
 
 
 def _stream_weights(receiver: ShadeCtx, inputs: Reservoirs, in_mask, features):
@@ -400,7 +422,7 @@ def _select_lanewise(key, w, p_hat, inputs: Reservoirs, in_mask,
 
     w_sum = jnp.sum(w, axis=0)  # [K, H, W]
     m_out = jnp.sum(jnp.where(in_mask[:, None], inputs.m, 0.0), axis=0)
-    return sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out
+    return sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out, win
 
 
 def combine_biased(
@@ -410,19 +432,34 @@ def combine_biased(
     in_mask: jnp.ndarray,  # [R, H, W] bool — which inputs participate
     features: Features,
     gumbel=None,
-) -> Reservoirs:
+    records=None,  # [R, K, 3, H, W] replay records to pass through
+):
     """ReSTIR Algorithm 5 (reference Reservoir::combineBiased,
     reservoir.cpp:40-66): re-weight every input sample by
     p_hat_receiver * W * M, resample one winner per lane, then
-    W = wSum / (p_hat(winner) * M_total)."""
+    W = wSum / (p_hat(winner) * M_total).
+
+    With ``records``, also returns the winner's replay record (idx forced
+    to -1 on lanes with no positive-weight winner) — the records-mode
+    pipeline threads these through reuse phases (no effect on the
+    reservoir outputs or their gradients)."""
     w, p_hat = _stream_weights(receiver, inputs, in_mask, features)
-    sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
-        key, w, p_hat, inputs, in_mask, gumbel
-    )
+    sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out, win = \
+        _select_lanewise(key, w, p_hat, inputs, in_mask, gumbel)
     big_w = _safe_big_w(w_sum, sel_p_hat, m_out,
                         (sel_p_hat > 0.0) & (m_out > 0.0))
-    return Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
-                      big_w=big_w, chosen_w=sel_w)
+    res = Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
+                     big_w=big_w, chosen_w=sel_w)
+    if records is None:
+        return res
+    r = records.shape[0]
+    rec_out = jnp.zeros(records.shape[1:], records.dtype)
+    for i in range(r):
+        rec_out = jnp.where(e(win == i), records[i], rec_out)
+    won = jax.lax.stop_gradient(sel_w) > 0.0
+    rec_out = jnp.where(e(won), rec_out,
+                        rec_out.at[:, 0].set(-1.0))
+    return res, rec_out
 
 
 def combine_biased_surrogate(
@@ -433,7 +470,9 @@ def combine_biased_surrogate(
     features: Features,
     gumbel=None,
     gumbel2=None,
-) -> Reservoirs:
+    records=None,  # [R, K, 3, H, W] replay records (idxf|u1|u2, idx<0=none)
+    lights=None,  # LightTable — required with records
+):
     """combine_biased with the winner-replay surrogate gradient — the
     spatial/temporal race is the same select-one-of-R estimator as RIS
     candidate generation, so the same construction applies
@@ -453,7 +492,21 @@ def combine_biased_surrogate(
     The primary race consumes the SAME gumbel draw as combine_biased, so
     every output VALUE matches the exact path bit-for-bit (up to fusion
     reassociation in the re-evaluated winner attributes); only the
-    gradient is estimated."""
+    gradient is estimated.
+
+    ``records`` mode (the spatial replay-records path, round 5): each input
+    additionally carries the winner's (light idx, u1, u2) replay record,
+    and the combine RE-DERIVES the selected sample's pos/color from the
+    record against ``lights`` (sample_lights_planes — the same function the
+    canonical tail evaluated, so values agree to ~1 ulp and the gradient
+    w.r.t. light params is IDENTICAL to chaining pos-plane cotangents
+    through the gathers). Inputs whose record is absent (idx < 0: no
+    winner, or a previous-frame sample) keep their detached stored
+    pos/color — their attributes are constants w.r.t. current-step params
+    either way. With records, callers may gather every input plane
+    DETACHED except big_w: pos/color cotangents no longer flow through the
+    gather (grad_bench: the spatial backward's dominant term). Returns
+    (Reservoirs, records_out [K, 3, H, W])."""
     recv_d = jax.lax.stop_gradient(receiver)
     in_d = jax.lax.stop_gradient(inputs)
     mask_d = jax.lax.stop_gradient(in_mask)
@@ -487,9 +540,27 @@ def combine_biased_surrogate(
             pos[..., 2, :, :], color[..., 0, :, :], color[..., 1, :, :],
             color[..., 2, :, :], features)
 
+    def replayed(win):
+        """Winner pos/color: re-derived from the replay record where one
+        exists, else the detached stored planes (see records-mode notes)."""
+        rec = sel(records, win)  # [K, 3, H, W], detached data
+        idxf, u1, u2 = rec[:, 0], rec[:, 1], rec[:, 2]
+        has = e(idxf >= 0.0)
+        comps = sample_lights_planes(
+            lights, jnp.maximum(idxf, 0.0).astype(jnp.int32), u1, u2)
+        pos_rd = jnp.stack(comps[0:3], axis=1)  # [K, 3, H, W]
+        col_rd = jnp.stack(comps[3:6], axis=1)
+        pos_det = jax.lax.stop_gradient(sel(inputs.pos, win))
+        col_det = jax.lax.stop_gradient(sel(inputs.color, win))
+        return (jnp.where(has, pos_rd, pos_det),
+                jnp.where(has, col_rd, col_det), rec)
+
     # Differentiable winner re-evaluation (selection is data).
-    sel_pos = sel(inputs.pos, win1)
-    sel_color = sel(inputs.color, win1)
+    if records is not None:
+        sel_pos, sel_color, rec1 = replayed(win1)
+    else:
+        sel_pos = sel(inputs.pos, win1)
+        sel_color = sel(inputs.color, win1)
     sel_big_w = sel(inputs.big_w, win1)
     sel_m = sel(inputs.m, win1)
     sel_p_hat = pdf_planes(sel_pos, sel_color)
@@ -501,8 +572,11 @@ def combine_biased_surrogate(
 
     # w_sum: detached value + single-sample gradient via the second race.
     w_sum_d = jnp.sum(w_d, axis=0)
-    pos2 = sel(inputs.pos, win2)
-    col2 = sel(inputs.color, win2)
+    if records is not None:
+        pos2, col2, _ = replayed(win2)
+    else:
+        pos2 = sel(inputs.pos, win2)
+        col2 = sel(inputs.color, win2)
     w2 = (pdf_planes(pos2, col2)
           * sel(inputs.big_w, win2) * sel(inputs.m, win2))
     w2_d = jax.lax.stop_gradient(w2)
@@ -514,8 +588,15 @@ def combine_biased_surrogate(
     big_w = _safe_big_w(w_sum, sel_p_hat, m_out,
                         (jax.lax.stop_gradient(sel_p_hat) > 0.0)
                         & (m_out > 0.0))
-    return Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
-                      big_w=big_w, chosen_w=sel_w)
+    res = Reservoirs(pos=sel_pos, color=sel_color, w_sum=w_sum, m=m_out,
+                     big_w=big_w, chosen_w=sel_w)
+    if records is None:
+        return res
+    # Output record: the winner's record where the lane won and had one.
+    rec_out = jnp.where(e(won), rec1,
+                        jnp.stack([jnp.full_like(rec1[:, 0], -1.0),
+                                   rec1[:, 1], rec1[:, 2]], axis=1))
+    return res, rec_out
 
 
 def combine_unbiased(
@@ -542,7 +623,7 @@ def combine_unbiased(
     Alg. 6 applied per lane, agrees with the biased combine when every
     input is valid, and reduces to the reference for K = 1."""
     w, p_hat = _stream_weights(receiver, inputs, in_mask, features)
-    sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out = _select_lanewise(
+    sel_pos, sel_color, sel_w, sel_p_hat, w_sum, m_out, _ = _select_lanewise(
         key, w, p_hat, inputs, in_mask, gumbel
     )
 

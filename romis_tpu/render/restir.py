@@ -78,7 +78,9 @@ def temporal_reuse(
     height: int,
     width: int,
     features: Features,
-) -> Reservoirs:
+    records=None,  # [K, 3, H, W] canonical replay records (records mode)
+    lights=None,
+):
     """Temporal reuse with M-clamping (reference temporalReuse,
     render_utils.cpp:142-177): clamp the predecessor's history, then a 2-way
     biased combine of {current, predecessor}.
@@ -158,6 +160,17 @@ def temporal_reuse(
     )  # [2, K, ..., H, W]
     in_mask = jnp.stack(
         [jnp.ones((height, width), bool), pred_mask], axis=0)
+    if records is not None:
+        # Records mode: temporal inputs are same-pixel (no gather), so the
+        # EXACT combine keeps serving values AND gradients unchanged — it
+        # only additionally selects the winner's replay record for the
+        # downstream spatial passes. The predecessor carries no record
+        # (idx = -1): its sample attributes are previous-frame data,
+        # constant w.r.t. current-step params.
+        no_rec = records.at[:, 0].set(-1.0)
+        rec_in = jnp.stack([records, no_rec], axis=0)
+        return combine_biased(key, ctx, inputs, in_mask, features,
+                              records=rec_in)
     return combine_biased(key, ctx, inputs, in_mask, features)
 
 
@@ -170,7 +183,9 @@ def spatial_pass(
     geometry,
     features: Features,
     gumbel=None,  # optional pre-drawn [R+1, K, h, w] race noise (parity tests)
-) -> Reservoirs:
+    records=None,  # (self_rec [K,3,h,w], nbr_rec [R,K,3,h,w]) records mode
+    lights=None,
+):
     """One spatial-reuse combine given already-gathered neighbours: apply the
     depth/normal rejection gates (biased mode, render_utils.cpp:113-118) and
     combine {neighbours..., self} (render_utils.cpp:121-132). Shared by the
@@ -213,8 +228,13 @@ def spatial_pass(
         # match combine_biased bit-for-bit (shared primary gumbel).
         from ..ops.wrs import combine_biased_surrogate
 
+        rec_in = None
+        if records is not None:
+            self_rec, nbr_rec = records
+            rec_in = jnp.concatenate([nbr_rec, self_rec[None]], axis=0)
         return combine_biased_surrogate(combine_key, ctx, inputs, in_mask,
-                                        features, gumbel)
+                                        features, gumbel, records=rec_in,
+                                        lights=lights)
     return combine_biased(combine_key, ctx, inputs, in_mask, features,
                           gumbel)
 
@@ -299,7 +319,9 @@ def spatial_reuse(
     geometry,
     features: Features,
     inject=None,  # per-pass (offs [2,R,H,W], gumbel [R+1,K,H,W]) — tests
-) -> Reservoirs:
+    records=None,  # [K, 3, H, W] replay records → returns (res, records)
+    lights=None,
+):
     """Spatial reuse (reference spatialReuse, render_utils.cpp:87-140):
     per pass, every pixel picks ``num_neighbours_to_sample`` uniform offsets
     in the ±radius box (clamped to the screen), rejects dissimilar neighbours
@@ -365,6 +387,65 @@ def spatial_reuse(
                 seed, res_planes, gates, cen_ctx, k, k_n, radius,
                 uniform_shin=getattr(geometry, "uniform_shin", None))
         return unpack_reservoir_planes(res_planes, k)
+
+    if records is not None and inject is None:
+        # ===== replay-records gradient path (round 5) =====
+        # Every input plane is gathered DETACHED except big_w: the combine
+        # re-derives winner pos/color from the gathered replay records
+        # (combine_biased_surrogate records mode), so pos/color cotangents
+        # no longer chain through the gather/select graph — the spatial
+        # backward's dominant term (scripts/grad_bench.py spatial). The
+        # race keys/offsets match the non-records surrogate path exactly,
+        # so forward values are unchanged (up to ~1 ulp of winner
+        # re-derivation).
+        from ..ops.pallas_spatial import halo_offset_gather
+
+        rec = records
+        k = features.num_samples_in_reservoir
+        rows = jnp.arange(height, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+        for p in range(features.spatial_resampling_passes):
+            kp = jax.random.fold_in(key, p)
+            planes = jnp.concatenate([
+                pack_pixel_planes(reservoirs, ctx),
+                rec.reshape(3 * k, height, width)], axis=0)
+            planes_d = jax.lax.stop_gradient(planes)
+            c_main = planes.shape[0] - 3 * k
+            bw = reservoirs.big_w  # the ONE differentiable gather (K planes)
+            if features.coherent_spatial_offsets:
+                offs = jax.random.randint(kp, (2, k_n), -radius, radius + 1)
+                pad2 = ((0, 0), (radius, radius), (radius, radius))
+                padded = jnp.pad(planes_d, pad2, mode="edge")
+                bw_pad = jnp.pad(bw, pad2, mode="edge")
+                g = jnp.stack([
+                    jax.lax.dynamic_slice(
+                        padded,
+                        (0, radius + offs[0, n], radius + offs[1, n]),
+                        planes_d.shape) for n in range(k_n)])
+                bw_g = jnp.stack([
+                    jax.lax.dynamic_slice(
+                        bw_pad,
+                        (0, radius + offs[0, n], radius + offs[1, n]),
+                        bw.shape) for n in range(k_n)])
+            else:
+                offs = jax.random.randint(kp, (2, k_n, height, width),
+                                          -radius, radius + 1)
+                dy = jnp.clip(rows[None] + offs[0], 0, height - 1) \
+                    - rows[None]
+                dx = jnp.clip(cols[None] + offs[1], 0, width - 1) \
+                    - cols[None]
+                g = halo_offset_gather(planes_d, dy, dx, radius,
+                                       skip_absent=False)
+                bw_g = halo_offset_gather(bw, dy, dx, radius,
+                                          skip_absent=False)
+            nbr, nbr_ctx = unpack_pixel_planes(g[:, :c_main], k)
+            nbr = nbr.replace(big_w=bw_g)
+            nbr_rec = g[:, c_main:].reshape(k_n, k, 3, height, width)
+            reservoirs, rec = spatial_pass(
+                jax.random.fold_in(kp, 1000), ctx, reservoirs, nbr,
+                nbr_ctx, geometry, features, records=(rec, nbr_rec),
+                lights=lights)
+        return reservoirs, rec
 
     if features.coherent_spatial_offsets and inject is None:
         # Gradient-path formulation: ONE offset per (pass, neighbour) shared
@@ -542,28 +623,61 @@ def render_restir_frame(
     rays = generate_rays(cam, height, width)
     _, ctx = trace_primary(rays, geometry, features)
 
-    res = jax.checkpoint(lambda k_, c_, li_, ge_: gen_canonical_samples(
-        k_, c_, li_, num_lights, ge_, features))(
-        jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, geometry)
+    # Replay-records mode (round 5): on the surrogate gradient path the
+    # winner's (light idx, u1, u2) record rides through temporal/spatial
+    # reuse so each phase re-derives winner pos/color straight from the
+    # light table — gather/select chains drop out of the backward (see
+    # spatial_reuse's records branch). Engaged only when the XLA spatial
+    # formulation runs (the fused forward kernels don't read records).
+    use_records = (features.surrogate_resampling_grad
+                   and not features.unbiased_combination
+                   and not features.fused_resampling)
+
+    if use_records:
+        from ..ops.wrs import gen_canonical_with_records
+
+        res, rec = jax.checkpoint(
+            lambda k_, c_, li_, ge_: gen_canonical_with_records(
+                k_, c_, li_, num_lights, ge_, features))(
+            jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, geometry)
+    else:
+        rec = None
+        res = jax.checkpoint(lambda k_, c_, li_, ge_: gen_canonical_samples(
+            k_, c_, li_, num_lights, ge_, features))(
+            jax.random.fold_in(key, PH_CANDIDATES), ctx, lights, geometry)
 
     if features.temporal_reuse:
-        res = jax.checkpoint(lambda k_, c_, r_, p_: temporal_reuse(
-            k_, c_, r_, p_, height, width, features))(
-            jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
+        if use_records:
+            res, rec = jax.checkpoint(
+                lambda k_, c_, r_, rc_, p_, li_: temporal_reuse(
+                    k_, c_, r_, p_, height, width, features, records=rc_,
+                    lights=li_))(
+                jax.random.fold_in(key, PH_TEMPORAL), ctx, res, rec, prev,
+                lights)
+        else:
+            res = jax.checkpoint(lambda k_, c_, r_, p_: temporal_reuse(
+                k_, c_, r_, p_, height, width, features))(
+                jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
 
     if features.spatial_reuse:
-        sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
-            k_, c_, r_, height, width, ge_, features)
-        if (not features.surrogate_resampling_grad
-                or features.unbiased_combination):
-            # Under the winner-replay surrogate the R-way sweep is
-            # detached, so the phase's true residuals are small (winner
-            # selects + two re-eval inputs) — rematerialising would
-            # re-run the whole detached sweep in the backward for
-            # nothing. Exact gradients keep the checkpoint (the sweep's
-            # per-input residuals at 1080p exceed HBM otherwise).
-            sp = jax.checkpoint(sp)
-        res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geometry)
+        if use_records:
+            res, rec = spatial_reuse(
+                jax.random.fold_in(key, PH_SPATIAL), ctx, res, height,
+                width, geometry, features, records=rec, lights=lights)
+        else:
+            sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
+                k_, c_, r_, height, width, ge_, features)
+            if (not features.surrogate_resampling_grad
+                    or features.unbiased_combination):
+                # Under the winner-replay surrogate the R-way sweep is
+                # detached, so the phase's true residuals are small (winner
+                # selects + two re-eval inputs) — rematerialising would
+                # re-run the whole detached sweep in the backward for
+                # nothing. Exact gradients keep the checkpoint (the sweep's
+                # per-input residuals at 1080p exceed HBM otherwise).
+                sp = jax.checkpoint(sp)
+            res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res,
+                     geometry)
 
     color = final_shade(ctx, res, geometry, features)
     if features.enable_tone_mapping:

@@ -72,6 +72,41 @@ def _gather_neighbourhood(tree, ny, nx, radius=None, fused=False):
     return jax.tree.unflatten(treedef, out)
 
 
+def slim_ctx_stream(ctx_src, ny, nx, radius, fused, view_ctx=None,
+                    post=None):
+    """Streamed per-j neighbour-ctx gather fetching only the 14 planes the
+    target PDF reads (pos3 | normal3 | kd3 | ks3 | shin | valid):
+    view_origin is a per-frame constant for the pinhole camera
+    (generate_rays broadcasts ONE origin, core/camera.py:115) so the
+    receiver's own planes stand in exactly, and depth/geom_id are never
+    read by the MIS sweeps — 4 of 18 ShadeCtx planes skip the gather AND
+    its backward. ``view_ctx``: where to take the constant/unread planes
+    from (defaults to ctx_src); ``post``: optional per-leaf slicer applied
+    after the gather (the banded path slices ext rows to band centers)."""
+    from ..core.types import ShadeCtx
+
+    if post is None:
+        post = lambda a: a  # noqa: E731
+    view = view_ctx if view_ctx is not None else ctx_src
+
+    def get(j):
+        slim = dict(position=ctx_src.position, normal=ctx_src.normal,
+                    kd=ctx_src.kd, ks=ctx_src.ks,
+                    shininess=ctx_src.shininess, valid=ctx_src.valid)
+        g = _gather_neighbourhood(
+            slim,
+            jax.lax.dynamic_slice_in_dim(ny, j, 1, 0),
+            jax.lax.dynamic_slice_in_dim(nx, j, 1, 0), radius, fused)
+        g = {k_: post(v[0]) for k_, v in g.items()}
+        return ShadeCtx(
+            valid=g["valid"], position=g["position"], normal=g["normal"],
+            view_origin=view.view_origin, kd=g["kd"], ks=g["ks"],
+            shininess=g["shininess"], geom_id=view.geom_id,
+            depth_t=view.depth_t)
+
+    return get
+
+
 def ctx_j_getter(nbhd_ctx):
     """Adapter: pre-gathered neighbour ctx (fields [D1, ..., H, W]) → the
     j-indexed accessor the balance/colvec sweeps consume. Pass a callable
@@ -339,11 +374,9 @@ def render_rmis(
         nb = SimpleNamespace(**_gather_neighbourhood(
             dict(pos=res.pos, color=res.color, big_w=res.big_w),
             ny, nx, radius, fused))  # fields [D1, K, ..., H, W]
-        # Per-j streamed ctx gathers (see balance_heuristic_weights).
-        nbhd_ctx = (lambda j: jax.tree.map(
-            lambda a: a[0], _gather_neighbourhood(
-                ctx, ny[j:j + 1], nx[j:j + 1], radius, fused))
-        ) if need_ctx else None
+        # Per-j streamed SLIM ctx gathers (see slim_ctx_stream).
+        nbhd_ctx = (slim_ctx_stream(ctx, ny, nx, radius, fused)
+                    if need_ctx else None)
         return acc + rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry,
                                          features)
 

@@ -98,6 +98,57 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
     return rows  # [J, D1, K, H, W]
 
 
+def _colvec_rows(nb, nbhd_ctx, num_lights, features):
+    """List-mode colvec for the BAND-SEQUENTIAL backward (diff/banded.py):
+    Python loop over j with a per-j checkpointed term → a LIST over j of
+    [D1, K, h, w] rows, same math as _colvec_for_samples.
+
+    Why a second formulation exists: the lax.scan form's stacked
+    [J, D1, K, H, W] output is sliced per (j, d, k) by the A/b consumer,
+    and each slice's transpose is a pad-add into a [J, D1·K, H, W]
+    cotangent buffer (569 MB per instance at 1080p — the round-4 OOM
+    driver). At band shapes (H/8 rows) the per-j rows fit concurrently, the
+    stacking (and its pads) disappears, and the A/b accumulation can run as
+    axis-reductions whose transpose is a broadcast
+    (scripts/mis_grad_micro.py: ab 47 ms → see perf_artifacts). Full-frame
+    paths must keep the scan form (its sequential backward is what bounds
+    whole-frame memory)."""
+    from ..ops.shading import target_pdf_planes
+    from .rmis import ctx_j_getter
+
+    d1 = nb.pos.shape[0]
+    get_j = ctx_j_getter(nbhd_ctx)
+    p_, c_ = nb.pos, nb.color
+    comps = (p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+             c_[:, :, 0], c_[:, :, 1], c_[:, :, 2])  # each [D1, K, h, w]
+
+    @jax.checkpoint
+    def term(ctx_j, w_sum_j, chosen_j, m_j, px, py, pz, cr, cg, cb):
+        outs = []
+        for d in range(d1):
+            p_hat = target_pdf_planes(
+                ctx_j, px[d], py[d], pz[d], cr[d], cg[d], cb[d],
+                features)  # [K, h, w]
+            mock_w = p_hat * float(num_lights)
+            # Same grad-safe gates as _colvec_for_samples (see its notes).
+            ok_p = p_hat > 1e-18
+            inv_p = jnp.where(ok_p, 1.0 / jnp.where(ok_p, p_hat, 1.0), 0.0)
+            w_prime = (
+                inv_p
+                * (1.0 / jnp.maximum(m_j, 1e-37))
+                * (w_sum_j - chosen_j + mock_w)
+            )
+            ok_w = ok_p & (jnp.abs(w_prime) > 1e-37)
+            outs.append(jnp.where(
+                ok_w, 1.0 / jnp.where(ok_w, w_prime, 1.0), 0.0))
+        return jnp.stack(outs)  # [D1, K, h, w]
+
+    return [
+        term(get_j(j), nb.w_sum[j], nb.chosen_w[j], nb.m[j], *comps)
+        for j in range(d1)
+    ]
+
+
 def solve_alpha(a_mat, b_vec):
     """Batched least-squares α per channel via a Tikhonov-regularised
     Cholesky solve: α = (A + λI)⁻¹ b with λ = 1e-6·tr(A)/D1.
@@ -179,7 +230,15 @@ def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
     scale/ŵ, ΔA/Δb accumulation and the progressive per-sample estimate
     (render.cpp:187-219). Split from romis_iteration_terms so the gradient
     path can checkpoint the colvec sweep and this stage as SIBLINGS with
-    only colvec crossing the boundary (render_romis.iteration_update)."""
+    only colvec crossing the boundary (render_romis.iteration_update).
+
+    ``colvec`` may be the stacked [J, D1, K, H, W] array
+    (_colvec_for_samples) or the banded path's per-j LIST
+    (_colvec_rows) — the list form computes A/b as axis-reductions over
+    [D1, K, h, w] blocks (transpose = broadcast) instead of per-plane
+    sums (transpose = 72 pad-adds into a [J, D1·K, H, W] buffer)."""
+    if isinstance(colvec, (list, tuple)):
+        return _romis_ab_rows(ctx, nb, colvec, alphas, geometry, features)
     d1 = nb.pos.shape[0]
     k_lanes = nb.pos.shape[1]
     height, width = nb.pos.shape[-2:]
@@ -258,6 +317,65 @@ def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
             ok[:, :, None], num * inv_sf,
             jax.lax.stop_gradient(num * inv_sf))
         prog = jnp.sum(contrib, axis=(0, 1)) / total_samples
+    return a_delta, b_delta, prog
+
+
+def _romis_ab_rows(ctx, nb, rows, alphas, geometry, features: Features):
+    """List-mode post-colvec half (see romis_ab_from_colvec docstring):
+    identical estimator math on per-j [D1, K, h, w] blocks with
+    axis-reductions. Shading stays as three separate channel planes (no
+    [.., 3, h, w] stacking)."""
+    d1 = nb.pos.shape[0]
+    k_lanes = nb.pos.shape[1]
+    height, width = nb.pos.shape[-2:]
+    total_samples = float(d1 * k_lanes)
+    frac = float(k_lanes) / float(d1)
+
+    from ..ops.shading import phong_shade_planes
+
+    p_, c_ = nb.pos, nb.color
+    rgb = phong_shade_planes(
+        ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
+        c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
+    vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, h, w]
+    f_c = [jnp.where(vis, ch, 0.0) for ch in rgb]  # 3 x [D1, K, h, w]
+
+    s_cv = sum(rows[1:], start=rows[0])  # [D1, K, h, w]
+    ok_s = s_cv >= 1e-30
+    scale = jnp.where(
+        ok_s,
+        1.0 / jnp.where(ok_s, FLT_MIN + float(k_lanes) * s_cv, 1.0),
+        1.0 / FLT_MIN)
+    w_hat = [r * scale for r in rows]  # per j
+
+    a_upd = [[None] * d1 for _ in range(d1)]
+    for i in range(d1):
+        for j in range(i, d1):
+            v = jnp.sum(w_hat[i] * w_hat[j], axis=(0, 1))  # [h, w]
+            a_upd[i][j] = v
+            a_upd[j][i] = v
+    a_delta = jnp.stack([jnp.stack(row) for row in a_upd])
+    b_delta = jnp.stack([
+        jnp.stack([jnp.sum(w_hat[j] * scale * f_c[c], axis=(0, 1))
+                   for j in range(d1)])
+        for c in range(3)])
+
+    prog = jnp.zeros((3, height, width))
+    if features.use_progressive_romis:
+        sum_frac = FLT_MIN + frac * s_cv  # [D1, K, h, w]
+        ok = sum_frac >= 1e-30
+        inv_sf = jnp.where(ok, 1.0 / jnp.where(ok, sum_frac, 1.0),
+                           1.0 / FLT_MIN)
+        chans = []
+        for c in range(3):
+            sap = sum((alphas[c, j][None, None] * rows[j]
+                       for j in range(1, d1)),
+                      start=alphas[c, 0][None, None] * rows[0])
+            num = f_c[c] - sap
+            contrib = jnp.where(ok, num * inv_sf,
+                                jax.lax.stop_gradient(num * inv_sf))
+            chans.append(jnp.sum(contrib, axis=(0, 1)) / total_samples)
+        prog = jnp.stack(chans)
     return a_delta, b_delta, prog
 
 
@@ -466,12 +584,11 @@ def render_romis(
                                         num_lights, geometry_, features)
         rc = res_comp_planes(res)
         nb = rebuild_nb(_gather_neighbourhood(rc, ny, nx, radius, fused))
-        # dynamic_slice: j is a tracer inside the colvec sweep's scan.
-        nbhd_ctx_ = lambda j: jax.tree.map(  # noqa: E731
-            lambda a: a[0], _gather_neighbourhood(
-                ctx_,
-                jax.lax.dynamic_slice_in_dim(ny, j, 1, 0),
-                jax.lax.dynamic_slice_in_dim(nx, j, 1, 0), radius, fused))
+        # Streamed slim per-j ctx gathers (rmis.slim_ctx_stream; j may be
+        # a tracer inside the colvec sweep's scan — it slices dynamically).
+        from .rmis import slim_ctx_stream
+
+        nbhd_ctx_ = slim_ctx_stream(ctx_, ny, nx, radius, fused)
         return romis_iteration_terms(ctx_, nbhd_ctx_, nb, alphas_,
                                      num_lights, geometry_, features)
 

@@ -265,3 +265,88 @@ def test_spatial_surrogate_gradient_unbiased_exact():
         scale = np.abs(de).max() + 1e-6
         np.testing.assert_allclose(ds, de, rtol=2e-4, atol=2e-6 * scale,
                                    err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Replay-records mode (round 5): records-mode combine must reproduce the
+# chain-mode surrogate gradient exactly (winner pos/color are the SAME
+# function of the light table either way — re-derived at the combine vs
+# chained through the select graph).
+# ---------------------------------------------------------------------------
+
+def test_records_combine_matches_chain_gradients():
+    from romis_tpu.ops.wrs import (
+        combine_biased_surrogate, gen_canonical_with_records,
+    )
+
+    ctx, lights, nl, geometry, feats = _setup()
+    feats = feats.replace(surrogate_resampling_grad=True)
+    h, w = HW
+    k = feats.num_samples_in_reservoir
+    r = 3
+    key = jax.random.PRNGKey(21)
+    ckeys = jax.random.split(jax.random.fold_in(key, 1), r)
+    pk = jax.random.split(jax.random.PRNGKey(31), 3)
+    proj = (jax.random.normal(pk[0], (k, h, w)),
+            jax.random.normal(pk[1], (k, 3, h, w)),
+            jax.random.normal(pk[2], (k, h, w)))
+    in_mask = jnp.ones((r, h, w), bool)
+
+    def loss(rows, kd, use_records):
+        li = lights.replace(rows=rows, const_cols=None,
+                            affine_segments=None)
+        cx = ctx.replace(kd=kd)
+        outs = [gen_canonical_with_records(ckeys[i], cx, li, nl, geometry,
+                                           feats) for i in range(r)]
+        inputs = jax.tree.map(lambda *a: jnp.stack(a, axis=0),
+                              *[o[0] for o in outs])
+        recs = jnp.stack([o[1] for o in outs], axis=0)
+        if use_records:
+            res, _ = combine_biased_surrogate(
+                key, cx, inputs, in_mask, feats, records=recs, lights=li)
+        else:
+            res = combine_biased_surrogate(key, cx, inputs, in_mask, feats)
+        return (jnp.sum(res.big_w * proj[0]) + jnp.sum(res.pos * proj[1])
+                + jnp.sum(res.w_sum * proj[2]))
+
+    gc = jax.jit(jax.grad(lambda a, b: loss(a, b, False),
+                          argnums=(0, 1)))(lights.rows, ctx.kd)
+    gr = jax.jit(jax.grad(lambda a, b: loss(a, b, True),
+                          argnums=(0, 1)))(lights.rows, ctx.kd)
+    for name, a, b in zip(("rows", "kd"), gc, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=3e-6 * scale,
+                                   err_msg=name)
+
+
+def test_records_pipeline_values_match_exact():
+    """Full production-gradient-config frame (surrogate + records engaged in
+    render_restir_frame) must render the same image as the exact XLA path."""
+    from romis_tpu.core.camera import make_camera
+    from romis_tpu.render.restir import (
+        initial_temporal_state, render_restir_frame,
+    )
+
+    scene = load_prebuilt("cornell_box_parallelogram_light")
+    h, w = HW
+    cam = make_camera(look_at=(0, 0, 0), rotation_deg=(0, 0, 0),
+                      distance=2.5, fov_deg=50, resolution=HW)
+    base = Features(enable_tone_mapping=False, fused_resampling=False,
+                    initial_light_samples=8)
+    key = jax.random.PRNGKey(4)
+
+    def frame(feats):
+        state = initial_temporal_state(h, w, feats.num_samples_in_reservoir,
+                                       cam)
+        img1, state = render_restir_frame(key, cam, scene.geometry,
+                                          scene.lights, scene.num_lights,
+                                          h, w, feats, state)
+        img2, _ = render_restir_frame(jax.random.fold_in(key, 9), cam,
+                                      scene.geometry, scene.lights,
+                                      scene.num_lights, h, w, feats, state)
+        return np.asarray(img2)
+
+    exact = frame(base)
+    rec = frame(base.replace(surrogate_resampling_grad=True))
+    np.testing.assert_allclose(rec, exact, rtol=1e-4, atol=1e-5)

@@ -181,3 +181,26 @@ def test_paged_closest_big_scene_matches_traverse():
         rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(unpack_scalar(tri_x),
                                   unpack_scalar(tri_p))
+
+
+def test_paged_any_k_matches_xla_shared_batch():
+    """Shared-walk K-lane any-hit (paged_any_k): the MIS ext_vis shape —
+    S rays per pixel from one receiver — must match the brute-force
+    intersector exactly (round 5, VERDICT item 4)."""
+    geo, paged = _paged_scene()
+    rng = np.random.default_rng(11)
+    n, s = 48, 12
+    # One shared origin per pixel (the receiver), S target directions.
+    origins = rng.uniform(-1.5, 1.5, (1, n, 3)).astype(np.float32)
+    origins = np.broadcast_to(origins, (s, n, 3))
+    dirs = rng.normal(size=(s, n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.asarray(origins.transpose(0, 2, 1)[:, :, None, :])
+    d = jnp.asarray(dirs.transpose(0, 2, 1)[:, :, None, :])
+    t_max = jnp.asarray(
+        rng.uniform(0.3, 2.5, (s, 1, n)).astype(np.float32))
+    from romis_tpu.ops.pallas_bvh import paged_any_k
+
+    occ_b = np.asarray(intersect_any(o, d, t_max, geo.replace(bvh=None)))
+    occ_k = np.asarray(paged_any_k(o, d, t_max, paged, interpret=True))
+    np.testing.assert_array_equal(occ_b, occ_k)
