@@ -223,7 +223,8 @@ def occlusion_into(n_tris: int, trix_ref, aabb_ref, ox, oy, oz,
 
 
 def occlusion_shared_origin_into(n_tris: int, trix_ref, aabb_ref,
-                                 origin, rays, t_min: float, occf_ref):
+                                 origin, rays, t_min: float, occf_ref,
+                                 blk_alive=None):
     """Occlusion of len(rays) ray tiles SHARING one origin plane, into
     occf_ref [n_rays, bh, bw] (1.0 = occluded). rays = list of
     (dx, dy, dz, t_max) with UNIT directions; the valid t window is
@@ -233,7 +234,11 @@ def occlusion_shared_origin_into(n_tris: int, trix_ref, aabb_ref,
     the Möller–Trumbore terms depending only on (origin, triangle) — tvec,
     qvec, e2·qvec — hoist across all rays: ~1/3 of the per-test math at
     n_rays >= 4 (the R-MIS/R-OMIS sweep kernels trace D1·K = 12 shadow
-    rays per pixel per iteration from one surface point)."""
+    rays per pixel per iteration from one surface point).
+
+    ``blk_alive``: optional callable b → scalar bool; False marks a
+    TRI_UNROLL block PROVEN unreachable for this tile (e.g. the XLA
+    plane-separation cull in pallas_zcount_occ) — its tests are skipped."""
     ox, oy, oz = origin
     n_rays = len(rays)
     inv = [_inv_dir(r[0], r[1], r[2]) for r in rays]
@@ -249,6 +254,8 @@ def occlusion_shared_origin_into(n_tris: int, trix_ref, aabb_ref,
             ll = ((tf >= tn) & (tf > t_min) & (tn < rays[s][3])
                   & (occ[s] < 0.5))
             live = ll if live is None else (live | ll)
+        if blk_alive is not None:
+            live = live & blk_alive(b)
 
         @pl.when(jnp.any(live))
         def _process():
@@ -547,14 +554,87 @@ def pallas_any(origins, dirs, t_max, geometry, interpret: bool = False):
     return occ.reshape(lead + (h, w)) if lead else occ[0]
 
 
+def _tile_minmax(planes, alive, n, gi, bh, gj, bw):
+    """[3n, HP, WP] component planes + [n, HP, WP] aliveness → per-tile
+    (lo, hi) [gi, gj, 3] over the alive points of all n plane groups."""
+    big = 3e38
+    p = planes.reshape(n, 3, gi, bh, gj, bw)
+    a = alive.reshape(n, 1, gi, bh, gj, bw)
+    lo = jnp.min(jnp.where(a, p, big), axis=(0, 3, 5))   # [3, gi, gj]
+    hi = jnp.max(jnp.where(a, p, -big), axis=(0, 3, 5))
+    return jnp.moveaxis(lo, 0, -1), jnp.moveaxis(hi, 0, -1)
+
+
+def _plane_cull_blocks(o, t, m, trix, aabbs, r_n, k_n, gi, bh, gj, bw):
+    """Per-(tile, TRI_UNROLL-block) reachability for the Z-count rays via
+    triangle-plane separation (VERDICT r4 weak #4, 'fewer tests'): every
+    shadow segment runs from a tile origin to a tile target, so its points
+    lie in conv(O ∪ T) of the tile's alive origin/target AABBs. A triangle
+    whose plane strictly separates all 16 corners of those two boxes from
+    itself is never crossed by any segment — sign(n·p − n·v0) is linear, so
+    corner extremes bound the whole convex hull. A block whose 16 triangles
+    are all separated (or inactive) is skipped by the kernel. Wall/ceiling
+    architecture behind the light plane and floor planes beneath distant
+    tiles cull this way; the test is exact for the boxes, conservative for
+    the rays. Returns int32 [gi, gj, B]."""
+    alive_o = (m.reshape(r_n, k_n, *m.shape[-2:]).max(axis=1) > 0.5)
+    alive_t = (m.reshape(r_n, k_n, *m.shape[-2:]).max(axis=0) > 0.5)
+    o_lo, o_hi = _tile_minmax(o, alive_o, r_n, gi, bh, gj, bw)
+    t_lo, t_hi = _tile_minmax(t, alive_t, k_n, gi, bh, gj, bw)
+
+    corners = []
+    for lo, hi in ((o_lo, o_hi), (t_lo, t_hi)):
+        for sx in (0, 1):
+            for sy in (0, 1):
+                for sz in (0, 1):
+                    corners.append(jnp.stack([
+                        hi[..., 0] if sx else lo[..., 0],
+                        hi[..., 1] if sy else lo[..., 1],
+                        hi[..., 2] if sz else lo[..., 2]], axis=-1))
+    corners = jnp.stack(corners, axis=2)  # [gi, gj, 16, 3]
+
+    e1 = trix[3:6].T  # [T, 3]
+    e2 = trix[6:9].T
+    v0 = trix[0:3].T
+    n = jnp.cross(e1, e2)
+    nn = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1), 1e-30))
+    n = n / nn[:, None]  # unit normals → sides are distances
+    d = jnp.sum(n * v0, axis=-1)  # [T]
+    active = trix[9] > 0.0
+
+    # f32 rounding margin scaled by the scene extent (aabbs carries the
+    # per-block bounds; empty-block sentinels are ±1e30 — mask them out).
+    finite = jnp.abs(aabbs) < 1e29
+    lo_s = jnp.min(jnp.where(finite[:3], aabbs[:3], 3e38))
+    hi_s = jnp.max(jnp.where(finite[3:], aabbs[3:], -3e38))
+    margin = 1e-4 * jnp.maximum(hi_s - lo_s, 1e-6)
+
+    sides = jnp.einsum("ijcx,tx->ijct", corners, n) - d  # [gi, gj, 16, T]
+    sep = ((jnp.min(sides, axis=2) > margin)
+           | (jnp.max(sides, axis=2) < -margin))
+    sep = sep | ~active  # padding/inactive triangles never block a skip
+    b_n = sep.shape[-1] // TRI_UNROLL
+    blk = jnp.all(sep.reshape(gi, gj, b_n, TRI_UNROLL), axis=-1)
+    return (~blk).astype(jnp.int32)  # 1 = must test
+
+
 def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
-                   masked: bool, *refs):
-    if masked:
+                   masked: bool, culled: bool, *refs):
+    blk_ref = None
+    if masked and culled:
+        (trix_ref, aabb_ref, o_ref, t_ref, m_ref, blk_ref, occ_ref,
+         occf_scr) = refs
+    elif masked:
         (trix_ref, aabb_ref, o_ref, t_ref, m_ref, occ_ref,
          occf_scr) = refs
     else:
         trix_ref, aabb_ref, o_ref, t_ref, occ_ref, occf_scr = refs
         m_ref = None
+    if blk_ref is not None:
+        ti, tj = pl.program_id(0), pl.program_id(1)
+        blk_alive = lambda b: blk_ref[ti, tj, b] > 0  # noqa: E731
+    else:
+        blk_alive = None
     for r in range(r_n):
         ox, oy, oz = o_ref[3 * r], o_ref[3 * r + 1], o_ref[3 * r + 2]
         rays = []
@@ -577,13 +657,14 @@ def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
             rays.append((tox * dinv, toy * dinv, toz * dinv, dist))
         occlusion_shared_origin_into(
             n_tris, trix_ref, aabb_ref, (ox, oy, oz), rays, eps,
-            occf_scr.at[pl.ds(r * k_n, k_n)])
+            occf_scr.at[pl.ds(r * k_n, k_n)], blk_alive=blk_alive)
     for i in range(r_n * k_n):
         occ_ref[i] = occf_scr[i] > 0.5
 
 
 def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
-                      mask=None, interpret: bool = False):
+                      mask=None, block_cull: bool = True,
+                      interpret: bool = False):
     """Occlusion of K winner samples from R input-surface origins — the
     unbiased Z-count visibility rays (reference reservoir.cpp:85-93) in ONE
     fused kernel. origins [R, 3, H, W], targets [K, 3, H, W] → occluded
@@ -621,15 +702,22 @@ def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 tile(3 * r_n), tile(3 * k_n)]
     inputs = [trix, aabbs, o, t]
+    culled = False
     if mask is not None:
         m = mask.astype(jnp.float32).reshape(r_n * k_n, h, w)
         m, _, _ = _pad_hw(m, bh, bw)
         in_specs.append(tile(r_n * k_n))
         inputs.append(m)
+        if block_cull:
+            blk = _plane_cull_blocks(o, t, m, trix, aabbs, r_n, k_n,
+                                     hp // bh, bh, wp // bw, bw)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(blk)
+            culled = True
 
     occ = pl.pallas_call(
         functools.partial(_zcount_kernel, geometry.num_tris, r_n, k_n, eps,
-                          mask is not None),
+                          mask is not None, culled),
         grid=grid,
         in_specs=in_specs,
         out_specs=tile(r_n * k_n),

@@ -35,7 +35,16 @@ from ..core.types import Reservoirs, ShadeCtx
 from ..core.vec import e, vnorm
 from ..scene.lights import LightTable, sample_lights, sample_lights_planes
 from .intersect import intersect_any_fast
-from .shading import target_pdf, target_pdf_planes
+from .shading import (
+    target_pdf, target_pdf_planes, target_pdf_planes_analytic,
+)
+
+
+def _tp(features):
+    """Planes-form target-PDF with the closed-form VJP when enabled
+    (Features.analytic_phong_vjp) — identical forward values."""
+    return (target_pdf_planes_analytic if features.analytic_phong_vjp
+            else target_pdf_planes)
 
 SHADOW_RAY_EPSILON = 1e-3  # reference src/utils/utils.h:16
 
@@ -159,7 +168,7 @@ def gen_canonical_samples(
         g = -jnp.log(-jnp.log(jnp.maximum(u4[3], 1e-37)) + 1e-37)
 
         comps = sample_lights_planes(lights, idx, u4[1], u4[2])  # 6x[K,H,W]
-        p_hat = target_pdf_planes(ctx, *comps, features)  # [K, H, W]
+        p_hat = _tp(features)(ctx, *comps, features)  # [K, H, W]
         w = p_hat * float(num_lights) * real[:, None, None].astype(jnp.float32)
 
         score = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-37)) + g, -jnp.inf)
@@ -319,7 +328,7 @@ def _surrogate_tail(ctx, lights, num_lights, geometry, features,
     def reeval(iuv):
         idxf, u1, u2 = jax.lax.stop_gradient(iuv)  # replay record is data
         comps = sample_lights_planes(lights, idxf.astype(jnp.int32), u1, u2)
-        p_hat = target_pdf_planes(ctx, *comps, features)
+        p_hat = _tp(features)(ctx, *comps, features)
         return comps, p_hat
 
     comps1, p_hat1 = reeval(sel_iuv)
@@ -384,7 +393,7 @@ def _stream_weights(receiver: ShadeCtx, inputs: Reservoirs, in_mask, features):
     spatial phase's hottest XLA loop (ops/shading.phong_shade_planes
     docstring; scripts/grad_bench.py spatial)."""
     p, c = inputs.pos, inputs.color
-    p_hat = target_pdf_planes(
+    p_hat = _tp(features)(
         receiver, p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :],
         c[..., 0, :, :], c[..., 1, :, :], c[..., 2, :, :], features)
     w = p_hat * inputs.big_w * inputs.m
@@ -535,7 +544,7 @@ def combine_biased_surrogate(
 
     def pdf_planes(pos, color):
         # Planes-form re-evaluation (see _stream_weights).
-        return target_pdf_planes(
+        return _tp(features)(
             receiver, pos[..., 0, :, :], pos[..., 1, :, :],
             pos[..., 2, :, :], color[..., 0, :, :], color[..., 1, :, :],
             color[..., 2, :, :], features)

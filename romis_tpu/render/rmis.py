@@ -136,7 +136,7 @@ def balance_heuristic_weights(
     and holding all J gathered contexts + their Phong residuals through the
     backward tipped the R-MIS balance gradient step over HBM — per-j terms
     under jax.checkpoint keep ONE j's gather/Phong live at a time."""
-    from ..ops.shading import target_pdf_planes
+    from ..ops.shading import target_pdf_planes, target_pdf_planes_analytic
 
     get_j = ctx_j_getter(nbhd_ctx)
     if j_n is None:
@@ -145,9 +145,17 @@ def balance_heuristic_weights(
     px, py, pz = p[:, :, 0], p[:, :, 1], p[:, :, 2]  # [D1, K, H, W]
     cr, cg, cb = c[:, :, 0], c[:, :, 1], c[:, :, 2]
 
-    @jax.checkpoint
-    def term(ctx_j, px, py, pz, cr, cg, cb):
-        return target_pdf_planes(ctx_j, px, py, pz, cr, cg, cb, features)
+    if features.analytic_phong_vjp:
+        # The closed-form VJP already keeps only the inputs as residuals —
+        # wrapping it in jax.checkpoint would recompute the forward twice.
+        def term(ctx_j, px, py, pz, cr, cg, cb):
+            return target_pdf_planes_analytic(ctx_j, px, py, pz, cr, cg,
+                                              cb, features)
+    else:
+        @jax.checkpoint
+        def term(ctx_j, px, py, pz, cr, cg, cb):
+            return target_pdf_planes(ctx_j, px, py, pz, cr, cg, cb,
+                                     features)
 
     denom = jnp.full_like(receiver_p_hat, FLT_MIN)
     for j in range(j_n):
@@ -178,11 +186,13 @@ def rmis_sample_contrib(ctx, nbhd_ctx, nb, geometry, features: Features):
     # Shading + visibility of every neighbourhood sample at the receiver.
     # Planes-form phong (see phong_shade_planes) keeps the [D1, K, ...]
     # evaluation free of [.., 3, H, W] temporaries.
-    from ..ops.shading import phong_shade_planes
+    from ..ops.shading import phong_shade_planes, phong_shade_planes_analytic
 
     d1 = nb.pos.shape[0]
     p_, c_ = nb.pos, nb.color
-    rgb = phong_shade_planes(
+    phong = (phong_shade_planes_analytic if features.analytic_phong_vjp
+             else phong_shade_planes)
+    rgb = phong(
         ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
         c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
     shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]

@@ -49,9 +49,11 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
     Phong temporaries per d — the dominant cost of an R-OMIS iteration.
     ``nbhd_ctx``: pre-gathered fields [D1, ..., H, W] or a callable
     j → ShadeCtx (streamed gathers, see rmis.balance_heuristic_weights)."""
-    from ..ops.shading import target_pdf_planes
+    from ..ops.shading import target_pdf_planes, target_pdf_planes_analytic
     from .rmis import ctx_j_getter
 
+    tp = (target_pdf_planes_analytic if features.analytic_phong_vjp
+          else target_pdf_planes)
     d1 = nb.pos.shape[0]
     get_j = ctx_j_getter(nbhd_ctx)
 
@@ -72,7 +74,7 @@ def _colvec_for_samples(nb, nbhd_ctx, num_lights, features):
         px, py, pz, cr, cg, cb = comps
         outs = []
         for d in range(d1):
-            p_hat = target_pdf_planes(
+            p_hat = tp(
                 ctx_j, px[d], py[d], pz[d], cr[d], cg[d], cb[d],
                 features)  # [K, H, W]
             mock_w = p_hat * float(num_lights)
@@ -113,9 +115,11 @@ def _colvec_rows(nb, nbhd_ctx, num_lights, features):
     (scripts/mis_grad_micro.py: ab 47 ms → see perf_artifacts). Full-frame
     paths must keep the scan form (its sequential backward is what bounds
     whole-frame memory)."""
-    from ..ops.shading import target_pdf_planes
+    from ..ops.shading import target_pdf_planes, target_pdf_planes_analytic
     from .rmis import ctx_j_getter
 
+    tp = (target_pdf_planes_analytic if features.analytic_phong_vjp
+          else target_pdf_planes)
     d1 = nb.pos.shape[0]
     get_j = ctx_j_getter(nbhd_ctx)
     p_, c_ = nb.pos, nb.color
@@ -126,7 +130,7 @@ def _colvec_rows(nb, nbhd_ctx, num_lights, features):
     def term(ctx_j, w_sum_j, chosen_j, m_j, px, py, pz, cr, cg, cb):
         outs = []
         for d in range(d1):
-            p_hat = target_pdf_planes(
+            p_hat = tp(
                 ctx_j, px[d], py[d], pz[d], cr[d], cg[d], cb[d],
                 features)  # [K, h, w]
             mock_w = p_hat * float(num_lights)
@@ -247,10 +251,12 @@ def romis_ab_from_colvec(ctx, nb, colvec, alphas, geometry,
 
     # Shading of each (d, k) sample at the receiver (render.cpp:187-189)
     # via the planes-form phong (no [.., 3, H, W] temporaries).
-    from ..ops.shading import phong_shade_planes
+    from ..ops.shading import phong_shade_planes, phong_shade_planes_analytic
 
+    phong = (phong_shade_planes_analytic if features.analytic_phong_vjp
+             else phong_shade_planes)
     p_, c_ = nb.pos, nb.color
-    rgb = phong_shade_planes(
+    rgb = phong(
         ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
         c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
     shade = jnp.stack(rgb, axis=2)  # [D1, K, 3, H, W]
@@ -331,10 +337,12 @@ def _romis_ab_rows(ctx, nb, rows, alphas, geometry, features: Features):
     total_samples = float(d1 * k_lanes)
     frac = float(k_lanes) / float(d1)
 
-    from ..ops.shading import phong_shade_planes
+    from ..ops.shading import phong_shade_planes, phong_shade_planes_analytic
 
+    phong = (phong_shade_planes_analytic if features.analytic_phong_vjp
+             else phong_shade_planes)
     p_, c_ = nb.pos, nb.color
-    rgb = phong_shade_planes(
+    rgb = phong(
         ctx, p_[:, :, 0], p_[:, :, 1], p_[:, :, 2],
         c_[:, :, 0], c_[:, :, 1], c_[:, :, 2], features)
     vis = visibility(ctx.position, nb.pos, geometry)  # [D1, K, h, w]

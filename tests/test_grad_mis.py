@@ -222,3 +222,111 @@ def test_make_mis_grad_fn_jits(cornell):
     loss, g = fn(params, target, key, cam)
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(g.light_c0)).all()
+
+
+def _random_phat_inputs(key, h=8, w=10, lead=(3, 2)):
+    from romis_tpu.core.types import ShadeCtx
+
+    ks = jax.random.split(key, 12)
+    u = lambda k_, shape, lo=-1.0, hi=1.0: jax.random.uniform(
+        k_, shape, minval=lo, maxval=hi)
+    normal = u(ks[0], (3, h, w))
+    normal = normal / jnp.maximum(
+        jnp.sqrt(jnp.sum(normal ** 2, 0, keepdims=True)), 1e-6)
+    ctx = ShadeCtx(
+        valid=u(ks[1], (h, w)) > -0.8,  # ~10% invalid
+        position=u(ks[2], (3, h, w)),
+        normal=normal,
+        view_origin=u(ks[3], (3, h, w), -2.0, 2.0),
+        kd=u(ks[4], (3, h, w), 0.0, 1.0),
+        ks=u(ks[5], (3, h, w), 0.0, 1.0),
+        shininess=u(ks[6], (h, w), 1.0, 40.0),
+        geom_id=jnp.zeros((h, w), jnp.int32),
+        depth_t=jnp.ones((h, w)),
+    )
+    pos = u(ks[7], lead + (3, h, w), -2.0, 2.0)
+    col = u(ks[8], lead + (3, h, w), 0.0, 5.0)
+    # Edge regimes: coincident sample/surface (dist→0) and dark samples.
+    pos = pos.at[0, 0, :, 0, 0].set(ctx.position[:, 0, 0])
+    col = col.at[0, 0, :, 0, 1].set(0.0)
+    wgt = u(ks[9], lead + (h, w))
+    return ctx, pos, col, wgt
+
+
+def test_analytic_phat_vjp_matches_ad():
+    """target_pdf_planes_analytic: identical forward, AD-grade gradients
+    w.r.t. every ctx field and every sample plane (the closed-form Phong
+    VJP of VERDICT r4 item 2) — across valid/invalid, backfacing,
+    zero-specular, and coincident-pair regimes."""
+    from romis_tpu.ops.shading import (
+        target_pdf_planes, target_pdf_planes_analytic,
+    )
+
+    feats = Features()
+    ctx, pos, col, wgt = _random_phat_inputs(jax.random.PRNGKey(7))
+    comps = (pos[:, :, 0], pos[:, :, 1], pos[:, :, 2],
+             col[:, :, 0], col[:, :, 1], col[:, :, 2])
+
+    def loss(fn, ctx_, comps_):
+        return jnp.sum(fn(ctx_, *comps_, feats) * wgt)
+
+    v_ad = loss(target_pdf_planes, ctx, comps)
+    v_an = loss(target_pdf_planes_analytic, ctx, comps)
+    np.testing.assert_array_equal(np.asarray(v_ad), np.asarray(v_an))
+
+    diff_fields = ["position", "normal", "view_origin", "kd", "ks",
+                   "shininess"]
+
+    def split_loss(fn):
+        def f(diff_ctx, comps_):
+            ctx_ = ctx.replace(**diff_ctx)
+            return loss(fn, ctx_, comps_)
+        return f
+
+    dctx = {k: getattr(ctx, k) for k in diff_fields}
+    g_ad = jax.grad(split_loss(target_pdf_planes), argnums=(0, 1))(
+        dctx, comps)
+    g_an = jax.grad(split_loss(target_pdf_planes_analytic), argnums=(0, 1))(
+        dctx, comps)
+    for (name, a), b in zip(
+            sorted(g_ad[0].items()) + list(enumerate(g_ad[1])),
+            [v for _, v in sorted(g_an[0].items())] + list(g_an[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=f"cotangent mismatch: {name}")
+
+
+def test_analytic_phong_planes_vjp_matches_ad():
+    """phong_shade_planes_analytic: per-channel cotangents (the
+    equal-weight sweep backward) match AD."""
+    from romis_tpu.ops.shading import (
+        phong_shade_planes, phong_shade_planes_analytic,
+    )
+
+    feats = Features()
+    ctx, pos, col, wgt = _random_phat_inputs(jax.random.PRNGKey(11))
+    comps = (pos[:, :, 0], pos[:, :, 1], pos[:, :, 2],
+             col[:, :, 0], col[:, :, 1], col[:, :, 2])
+    wgt3 = (wgt, wgt * 0.5, wgt * wgt)
+
+    def loss(fn, dctx, comps_):
+        ctx_ = ctx.replace(**dctx)
+        r, g, b = fn(ctx_, *comps_, feats)
+        return jnp.sum(r * wgt3[0] + g * wgt3[1] + b * wgt3[2])
+
+    diff_fields = ["position", "normal", "view_origin", "kd", "ks",
+                   "shininess"]
+    dctx = {k: getattr(ctx, k) for k in diff_fields}
+    v_ad, g_ad = jax.value_and_grad(
+        lambda d, c: loss(phong_shade_planes, d, c), argnums=(0, 1))(
+        dctx, comps)
+    v_an, g_an = jax.value_and_grad(
+        lambda d, c: loss(phong_shade_planes_analytic, d, c),
+        argnums=(0, 1))(dctx, comps)
+    np.testing.assert_array_equal(np.asarray(v_ad), np.asarray(v_an))
+    for (name, a), b in zip(
+            sorted(g_ad[0].items()) + list(enumerate(g_ad[1])),
+            [v for _, v in sorted(g_an[0].items())] + list(g_an[1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=f"cotangent mismatch: {name}")

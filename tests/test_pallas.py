@@ -316,6 +316,48 @@ def test_zcount_occlusion_kernel_matches_visibility_from():
     np.testing.assert_array_equal(np.asarray(~occ), np.asarray(vis_ref))
 
 
+def test_zcount_block_cull_is_exact():
+    """The plane-separation block cull (round 5) only skips triangle
+    blocks PROVEN unreachable from the tile's origin/target boxes, so the
+    occlusion output must be bitwise unchanged wherever the ray mask is
+    alive — across random masks, clustered tiles (tight AABBs), and
+    scattered ones (loose AABBs)."""
+    from romis_tpu.ops.pallas_trace import pallas_zcount_occ
+
+    scene = load_prebuilt("cornell_box")
+    rng = np.random.default_rng(5)
+    r_n, k_n, h, w = 3, 2, 16, 24
+    # Clustered origins near the floor, targets near the ceiling light:
+    # the regime the cull exploits (walls/ceiling separate cleanly).
+    origins = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (r_n, 3, h, w)) + np.array(
+            [0.0, -0.8, 0.0])[None, :, None, None], jnp.float32)
+    targets = jnp.asarray(
+        rng.uniform(-0.2, 0.2, (k_n, 3, h, w)) + np.array(
+            [0.0, 0.9, 0.0])[None, :, None, None], jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(r_n, k_n, h, w)) > 0.3)
+
+    occ_cull = pallas_zcount_occ(origins, targets, scene.geometry,
+                                 mask=mask, block_cull=True, interpret=True)
+    occ_ref = pallas_zcount_occ(origins, targets, scene.geometry,
+                                mask=mask, block_cull=False, interpret=True)
+    alive = np.asarray(mask)
+    np.testing.assert_array_equal(np.asarray(occ_cull)[alive],
+                                  np.asarray(occ_ref)[alive])
+
+    # Wide-spread boxes (little to cull) must also stay exact.
+    origins2 = jnp.asarray(rng.uniform(-1.2, 1.2, (r_n, 3, h, w)),
+                           jnp.float32)
+    targets2 = jnp.asarray(rng.uniform(-1.2, 1.2, (k_n, 3, h, w)),
+                           jnp.float32)
+    occ2c = pallas_zcount_occ(origins2, targets2, scene.geometry,
+                              mask=mask, block_cull=True, interpret=True)
+    occ2r = pallas_zcount_occ(origins2, targets2, scene.geometry,
+                              mask=mask, block_cull=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ2c)[alive],
+                                  np.asarray(occ2r)[alive])
+
+
 @pytest.mark.parametrize("vis_check", [False, True],
                          ids=["novis", "vischeck"])
 def test_spatial_pass_unbiased_kernel_matches_combine(vis_check):
