@@ -43,6 +43,13 @@ from .pallas_trace import _inv_dir, _mt_occluded_tri, _mt_scalar_tri, _pad_hw
 
 _BH, _BW = 32, 256  # ray tile (the wavefront) per grid step
 _BH_ANY, _BW_ANY = 32, 256
+# The K-lane shared-walk kernel lives on much smaller tiles: a node/page/
+# block is entered when ANY of bh·bw pixels × K lanes overlaps it, so
+# wide tiles mean near-zero culling for divergent per-pixel ray batches.
+# Sweep on config 7 (monkey_field 5x5, D1·K=12 ext_vis rays, corrected
+# non-hoisting protocol): 32x256: 436, 16x256: 392, 8x256: 372,
+# 16x128: 284, 8x128: 297, 8x512: 545 ms/iter.
+_BH_ANYK, _BW_ANYK = 16, 128
 
 
 def _node_slab(nodes_ref, c, ox, oy, oz, ix, iy, iz):
@@ -441,7 +448,7 @@ def paged_any_k(origins, dirs, t_max, paged: PagedBVH,
     d, _, _ = _pad_hw(d, 8, 128)
     tm, _, _ = _pad_hw(tm, 8, 128)
     hp, wp = o.shape[-2:]
-    bh, bw = min(_BH_ANY, hp), min(_BW_ANY, wp)
+    bh, bw = min(_BH_ANYK, hp), min(_BW_ANYK, wp)
     o, _, _ = _pad_hw(o, bh, bw)
     d, _, _ = _pad_hw(d, bh, bw)
     tm, _, _ = _pad_hw(tm, bh, bw)

@@ -27,12 +27,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _salt(args, s):
+    """Perturb every float leaf by a loop-step-dependent denormal: without
+    a carry dependence XLA HOISTS the whole constant-arg body out of the
+    reps scan and the printed time is total/reps (discovered round 5 —
+    config7 stage sums said ~1.0 s while the real frame measured 2.44 s;
+    verified reps=1 vs reps=3 const: identical totals). +1e-30 is value-
+    invisible but defeats loop-invariant code motion."""
+    return jax.tree.map(
+        lambda l: l + s if jnp.issubdtype(l.dtype, jnp.floating) else l,
+        args)
+
+
 def timed(name, fn, *args, reps=3):
     def scanned(*a):
-        def step(s, _):
-            return s + jnp.sum(fn(*a)), None
+        def step(s, i):
+            a2 = _salt(a, i.astype(jnp.float32) * 1e-30)
+            return s + jnp.sum(fn(*a2)), None
 
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=reps)
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
         return acc
 
     jfn = jax.jit(scanned)

@@ -52,29 +52,58 @@ def main():
     params0 = extract_params(geometry, lights)
     key = jax.random.PRNGKey(3)
 
+    # Mirror render_restir_frame's replay-records gating (round 5) so the
+    # per-stage deltas decompose the SAME backward the full step runs.
+    use_records = (features.surrogate_resampling_grad
+                   and not features.unbiased_combination
+                   and not features.fused_resampling)
+
     def upto(params, stage):
+        from romis_tpu.ops.wrs import gen_canonical_with_records
+
         geo, li = apply_params(geometry, lights, params)
         rays = generate_rays(cam, h, w)
         _, ctx = trace_primary(rays, geo, features)
         if stage == "trace":
             return jnp.mean(ctx.position ** 2) + jnp.mean(ctx.kd ** 2)
-        res = jax.checkpoint(lambda k_, c_, li_, ge_: gen_canonical_samples(
-            k_, c_, li_, nl, ge_, features))(
-            jax.random.fold_in(key, PH_CANDIDATES), ctx, li, geo)
+        if use_records:
+            res, rec = jax.checkpoint(
+                lambda k_, c_, li_, ge_: gen_canonical_with_records(
+                    k_, c_, li_, nl, ge_, features))(
+                jax.random.fold_in(key, PH_CANDIDATES), ctx, li, geo)
+        else:
+            rec = None
+            res = jax.checkpoint(
+                lambda k_, c_, li_, ge_: gen_canonical_samples(
+                    k_, c_, li_, nl, ge_, features))(
+                jax.random.fold_in(key, PH_CANDIDATES), ctx, li, geo)
         if stage == "ris":
             return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
         if stage != "ris_notemporal":
-            res = jax.checkpoint(lambda k_, c_, r_, p_: temporal_reuse(
-                k_, c_, r_, p_, h, w, features))(
-                jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
+            if use_records:
+                res, rec = jax.checkpoint(
+                    lambda k_, c_, r_, rc_, p_, li_: temporal_reuse(
+                        k_, c_, r_, p_, h, w, features, records=rc_,
+                        lights=li_))(
+                    jax.random.fold_in(key, PH_TEMPORAL), ctx, res, rec,
+                    prev, li)
+            else:
+                res = jax.checkpoint(lambda k_, c_, r_, p_: temporal_reuse(
+                    k_, c_, r_, p_, h, w, features))(
+                    jax.random.fold_in(key, PH_TEMPORAL), ctx, res, prev)
             if stage == "temporal":
                 return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
-        sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
-            k_, c_, r_, h, w, ge_, features)
-        if (not features.surrogate_resampling_grad
-                or features.unbiased_combination):
-            sp = jax.checkpoint(sp)  # mirrors render_restir_frame
-        res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geo)
+        if use_records:
+            res, _ = spatial_reuse(
+                jax.random.fold_in(key, PH_SPATIAL), ctx, res, h, w, geo,
+                features, records=rec, lights=li)
+        else:
+            sp = lambda k_, c_, r_, ge_: spatial_reuse(  # noqa: E731
+                k_, c_, r_, h, w, ge_, features)
+            if (not features.surrogate_resampling_grad
+                    or features.unbiased_combination):
+                sp = jax.checkpoint(sp)  # mirrors render_restir_frame
+            res = sp(jax.random.fold_in(key, PH_SPATIAL), ctx, res, geo)
         if stage in ("spatial", "ris_notemporal"):
             return jnp.mean(res.big_w ** 2) + jnp.mean(res.color ** 2)
         color = final_shade(ctx, res, geo, features)

@@ -21,18 +21,28 @@ import jax
 import jax.numpy as jnp
 
 
+def _salt(tree, s):
+    """Loop-step-dependent denormal perturbation of every float leaf — a
+    constant-arg scan body gets HOISTED by XLA and the printed time is
+    total/reps (see scripts/config7_micro.py _salt)."""
+    return jax.tree.map(
+        lambda l: l + s if jnp.issubdtype(l.dtype, jnp.floating) else l,
+        tree)
+
+
 def timed(name, make_loss, args, reps=2):
     """make_loss() -> loss_fn(*args) scalar; times value_and_grad wrt
     args[0] (a pytree)."""
     loss_fn = make_loss()
 
     def scanned(p, *rest):
-        def step(s, _):
-            l_, g = jax.value_and_grad(loss_fn)(p, *rest)
+        def step(s, i):
+            p2 = _salt(p, i.astype(jnp.float32) * 1e-30)
+            l_, g = jax.value_and_grad(loss_fn)(p2, *rest)
             return s + l_ + sum(jnp.sum(jnp.abs(x))
                                 for x in jax.tree.leaves(g)), None
 
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=reps)
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
         return acc
 
     jfn = jax.jit(scanned)
