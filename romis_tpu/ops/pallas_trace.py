@@ -663,7 +663,7 @@ def _zcount_kernel(n_tris: int, r_n: int, k_n: int, eps: float,
 
 
 def pallas_zcount_occ(origins, targets, geometry, eps: float = 1e-3,
-                      mask=None, block_cull: bool = True,
+                      mask=None, block_cull: bool = False,
                       interpret: bool = False):
     """Occlusion of K winner samples from R input-surface origins — the
     unbiased Z-count visibility rays (reference reservoir.cpp:85-93) in ONE
