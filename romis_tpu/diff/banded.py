@@ -153,22 +153,51 @@ def render_mis_banded(
                                     view_ctx=ctx_c, post=slice_center)
                     if need_ctx else None)
 
+        # Replay-records gathers measured SLOWER banded (equal 2746 ->
+        # 5053, romis 6049 -> 8464 ms): at band shapes the plain gather's
+        # segsum backward is ~6 ms while the records re-derivation pays a
+        # 12-lead gather_rows + one-hot scatter backward + a second halo
+        # call per iteration — the 651 ms gather-backward it removes is a
+        # WHOLE-FRAME cost (mis_grad_micro), not a banded one. Records
+        # engage only on the whole-frame paths (render_rmis/render_romis).
+        use_rec = False
+
         def res_for(it_key, it_i):
             if res_b is not None:
                 return jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(a, it_i, 0,
-                                                           False), res_b)
+                                                           False), res_b), \
+                    None
+            if use_rec:
+                from ..ops.wrs import gen_canonical_with_records
+
+                return gen_canonical_with_records(
+                    it_key, ctx_b, lights, num_lights, geometry, features)
             return gen_canonical_samples(it_key, ctx_b, lights, num_lights,
-                                         geometry, features)
+                                         geometry, features), None
 
         if is_rmis:
             def it_body(acc, xs):
                 it_key, it_i = xs
-                res = res_for(it_key, it_i)
+                res, rec = res_for(it_key, it_i)
                 from types import SimpleNamespace
 
-                nb = SimpleNamespace(**gather_nb(
-                    dict(pos=res.pos, color=res.color, big_w=res.big_w)))
+                if rec is not None:
+                    # Replay-records gather: pos/color re-derived at the
+                    # receiver, only big_w rides the differentiable gather
+                    # (rmis.gather_nb_records — the gather backward is the
+                    # dominant banded-gradient stage).
+                    from ..render.rmis import gather_nb_records
+
+                    pos, color, g_dif, _ = gather_nb_records(
+                        gather_nb, rec, lights,
+                        diff=dict(big_w=res.big_w))
+                    nb = SimpleNamespace(pos=pos, color=color,
+                                         big_w=g_dif["big_w"])
+                else:
+                    nb = SimpleNamespace(**gather_nb(
+                        dict(pos=res.pos, color=res.color,
+                             big_w=res.big_w)))
                 return acc + rmis_sample_contrib(
                     ctx_c, nbhd_ctx, nb, geometry, features), None
 
@@ -194,16 +223,29 @@ def render_mis_banded(
                 a_safe = a_mat + bump * jnp.eye(d1)[:, :, None, None]
                 alphas = jnp.where(do, solve_alpha(a_safe, b_vec), alphas)
                 final_colors = final_colors + jnp.sum(alphas, axis=1)
-            res = res_for(it_key, it_i)
-            rc = dict(
-                px=res.pos[:, 0], py=res.pos[:, 1], pz=res.pos[:, 2],
-                cr=res.color[:, 0], cg=res.color[:, 1], cb=res.color[:, 2],
-                w_sum=res.w_sum, chosen=res.chosen_w, m=res.m)
-            g = gather_nb(rc)
-            nb = SimpleNamespace(
-                pos=jnp.stack([g["px"], g["py"], g["pz"]], axis=2),
-                color=jnp.stack([g["cr"], g["cg"], g["cb"]], axis=2),
-                w_sum=g["w_sum"], chosen_w=g["chosen"], m=g["m"])
+            res, rec = res_for(it_key, it_i)
+            if rec is not None:
+                from ..render.rmis import gather_nb_records
+
+                pos, color, g_dif, g_det = gather_nb_records(
+                    gather_nb, rec, lights,
+                    diff=dict(w_sum=res.w_sum, chosen=res.chosen_w),
+                    det=dict(m=res.m))
+                nb = SimpleNamespace(pos=pos, color=color,
+                                     w_sum=g_dif["w_sum"],
+                                     chosen_w=g_dif["chosen"],
+                                     m=g_det["m"])
+            else:
+                rc = dict(
+                    px=res.pos[:, 0], py=res.pos[:, 1], pz=res.pos[:, 2],
+                    cr=res.color[:, 0], cg=res.color[:, 1],
+                    cb=res.color[:, 2],
+                    w_sum=res.w_sum, chosen=res.chosen_w, m=res.m)
+                g = gather_nb(rc)
+                nb = SimpleNamespace(
+                    pos=jnp.stack([g["px"], g["py"], g["pz"]], axis=2),
+                    color=jnp.stack([g["cr"], g["cg"], g["cb"]], axis=2),
+                    w_sum=g["w_sum"], chosen_w=g["chosen"], m=g["m"])
             # List-mode colvec + reduction-form A/b: the banded backward's
             # fast formulation (see _colvec_rows / _romis_ab_rows notes).
             colvec = _colvec_rows(nb, nbhd_ctx, num_lights, features)

@@ -584,14 +584,40 @@ def render_romis(
             color=jnp.stack([g["cr"], g["cg"], g["cb"]], axis=2),
             w_sum=g["w_sum"], chosen_w=g["chosen"], m=g["m"])
 
+    use_rec = features.surrogate_resampling_grad and inject is None
+
     def iteration_update(it_key, ctx_, lights_, geometry_,
                          alphas_, res=None):
         """One iteration's (ΔA, Δb, progressive contribution)."""
+        rec = None
         if res is None:
-            res = gen_canonical_samples(it_key, ctx_, lights_,
-                                        num_lights, geometry_, features)
-        rc = res_comp_planes(res)
-        nb = rebuild_nb(_gather_neighbourhood(rc, ny, nx, radius, fused))
+            if use_rec:
+                from ..ops.wrs import gen_canonical_with_records
+
+                res, rec = gen_canonical_with_records(
+                    it_key, ctx_, lights_, num_lights, geometry_, features)
+            else:
+                res = gen_canonical_samples(it_key, ctx_, lights_,
+                                            num_lights, geometry_, features)
+        if rec is not None:
+            # Replay-records gather (rmis.gather_nb_records): only
+            # w_sum/chosen ride the differentiable gather; pos/color are
+            # re-derived at the receiver, m is data.
+            from .rmis import gather_nb_records
+
+            gfn = lambda tr: _gather_neighbourhood(  # noqa: E731
+                tr, ny, nx, radius, fused)
+            pos, color, g_dif, g_det = gather_nb_records(
+                gfn, rec, lights_,
+                diff=dict(w_sum=res.w_sum, chosen=res.chosen_w),
+                det=dict(m=res.m))
+            nb = SimpleNamespace(pos=pos, color=color,
+                                 w_sum=g_dif["w_sum"],
+                                 chosen_w=g_dif["chosen"], m=g_det["m"])
+        else:
+            rc = res_comp_planes(res)
+            nb = rebuild_nb(_gather_neighbourhood(rc, ny, nx, radius,
+                                                  fused))
         # Streamed slim per-j ctx gathers (rmis.slim_ctx_stream; j may be
         # a tracer inside the colvec sweep's scan — it slices dynamically).
         from .rmis import slim_ctx_stream
